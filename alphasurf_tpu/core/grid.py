@@ -1,0 +1,251 @@
+"""Sparse voxel grid — the central data structure.
+
+TPU-native re-design of ``svox2.SparseGrid``
+(/root/reference/svox2/svox2.py:560-6499). Same two-level storage scheme —
+a dense ``links`` int32 index grid mapping each vertex to a packed data row
+(or -1 for empty) — because it is gather-friendly and maps cleanly onto XLA's
+gather/scatter. Unlike the reference (a stateful ``nn.Module`` mutated by CUDA
+kernels), this grid is an immutable pytree: every training step produces a new
+grid via functional updates, which is what lets us ``jit``/``grad``/shard it.
+
+Geometry conventions follow the reference exactly:
+  * world2grid / grid2world: svox2.py:4492-4522
+  * offset/scaling: svox2.py:644-645
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import defs
+from ..utils.struct import pytree_dataclass
+
+# Corner offsets in reference order (z fastest): 000,001,010,011,100,101,110,111
+# matching svox2.py:1926-1933 link fetch order.
+CORNER_OFFSETS = np.array(
+    [
+        [0, 0, 0],
+        [0, 0, 1],
+        [0, 1, 0],
+        [0, 1, 1],
+        [1, 0, 0],
+        [1, 0, 1],
+        [1, 1, 0],
+        [1, 1, 1],
+    ],
+    dtype=np.int32,
+)
+
+
+@pytree_dataclass(meta_fields=("basis_dim", "surface_type", "basis_type"))
+class SparseGrid:
+    """Sparse voxel grid pytree.
+
+    links: (X, Y, Z) int32, vertex -> packed data row or -1
+    density_data: (cap, 1) raw alpha (surface mode) or sigma (cuvol mode)
+    sh_data: (cap, 3*basis_dim) SH coefficients
+    surface_data: (cap, 1) scalar surface field (SDF/UDF) or None
+    level_set_data: (n_lv,) level-set values or None
+    fake_sample_std: (1, 1) gaussian std for fake samples or None
+    truncated_vol_render_a: () scheduled "number of allowed intersections"
+    radius/center: (3,) world-space half-extent / center
+    """
+
+    links: jnp.ndarray
+    density_data: jnp.ndarray
+    sh_data: jnp.ndarray
+    surface_data: Optional[jnp.ndarray]
+    level_set_data: Optional[jnp.ndarray]
+    fake_sample_std: Optional[jnp.ndarray]
+    truncated_vol_render_a: jnp.ndarray
+    radius: jnp.ndarray
+    center: jnp.ndarray
+    basis_dim: int = 9
+    surface_type: int = defs.SURFACE_TYPE_NONE
+    basis_type: int = defs.BASIS_TYPE_SH
+
+    # ---- static geometry ----
+    @property
+    def reso(self):
+        return self.links.shape
+
+    @property
+    def capacity(self):
+        return self.density_data.shape[0]
+
+    @property
+    def gsz(self):
+        """Grid size as a float array (X, Y, Z)."""
+        return jnp.asarray(self.links.shape, dtype=self.radius.dtype)
+
+    @property
+    def offset(self):
+        # svox2.py:644
+        return 0.5 * (1.0 - self.center / self.radius)
+
+    @property
+    def scaling(self):
+        # svox2.py:645
+        return 0.5 / self.radius
+
+    def world2grid(self, points):
+        """World -> grid coords normalized to [0, n_voxels]. svox2.py:4492."""
+        gsz = self.gsz
+        return points * (self.scaling * gsz) + self.offset * gsz
+
+    def grid2world(self, points):
+        """Grid -> world coords. svox2.py:4508."""
+        gsz = self.gsz
+        roffset = -self.radius + self.center
+        rscaling = 2.0 * self.radius / gsz
+        return points * rscaling + roffset
+
+    def within_grid(self, pts, atol=1e-6):
+        """Whether grid-space pts lie inside the vertex lattice. svox2.py:1443."""
+        gsz = self.gsz
+        return jnp.all(pts <= gsz - 1.0 - atol, axis=-1) & jnp.all(
+            pts >= atol, axis=-1
+        )
+
+
+def create_grid(
+    reso=128,
+    radius=1.0,
+    center=(0.0, 0.0, 0.0),
+    basis_dim: int = 9,
+    surface_type: int = defs.SURFACE_TYPE_NONE,
+    surface_init: Optional[str] = None,
+    use_sphere_bound: bool = False,
+    trainable_fake_sample_std: bool = False,
+    init_sigma: float = 0.1,
+    init_rgb: float = 0.0,
+    dtype=jnp.float32,
+) -> SparseGrid:
+    """Build a dense grid (all links occupied), mirroring SparseGrid.__init__
+    (svox2.py:580-990). Sparsity appears later through pruning/resampling."""
+    if isinstance(reso, int):
+        reso = (reso, reso, reso)
+    reso = tuple(int(r) for r in reso)
+    radius = np.broadcast_to(np.asarray(radius, dtype=np.float32), (3,)).copy()
+    center = np.broadcast_to(np.asarray(center, dtype=np.float32), (3,)).copy()
+
+    n3 = int(np.prod(reso))
+    links = np.arange(n3, dtype=np.int32)
+
+    if use_sphere_bound:
+        # svox2.py:653-679 — keep only vertices within the unit sphere bound.
+        X = np.arange(reso[0], dtype=np.float32) - 0.5
+        Y = np.arange(reso[1], dtype=np.float32) - 0.5
+        Z = np.arange(reso[2], dtype=np.float32) - 0.5
+        pts = np.stack(np.meshgrid(X, Y, Z, indexing="ij"), axis=-1).reshape(-1, 3)
+        gsz = np.asarray(reso, dtype=np.float32)
+        pts = pts * (2.0 / gsz) + (1.0 / gsz - 1.0)
+        norms = np.linalg.norm(pts, axis=-1)
+        mask = norms <= 1.0 + (3**0.5) / gsz.max()
+        capacity = int(mask.sum())
+        new_links = np.full(n3, -1, dtype=np.int32)
+        new_links[mask] = np.arange(capacity, dtype=np.int32)
+        links = new_links
+    else:
+        capacity = n3
+
+    links = links.reshape(reso)
+
+    density_data = jnp.full((capacity, 1), init_sigma, dtype=dtype)
+    sh_data = jnp.full((capacity, basis_dim * 3), init_rgb, dtype=dtype)
+
+    surface_data = None
+    level_set_data = None
+    if surface_type != defs.SURFACE_TYPE_NONE:
+        level_set_data = jnp.array([0.0], dtype=dtype)
+        surface_data = _init_surface(reso, links, capacity, surface_init, dtype)
+
+    fake_sample_std = None
+    if trainable_fake_sample_std:
+        fake_sample_std = jnp.array([[1.0]], dtype=dtype)
+
+    return SparseGrid(
+        links=jnp.asarray(links),
+        density_data=density_data,
+        sh_data=sh_data,
+        surface_data=surface_data,
+        level_set_data=level_set_data,
+        fake_sample_std=fake_sample_std,
+        truncated_vol_render_a=jnp.asarray(1.0, dtype=dtype),
+        radius=jnp.asarray(radius, dtype=dtype),
+        center=jnp.asarray(center, dtype=dtype),
+        basis_dim=basis_dim,
+        surface_type=surface_type,
+    )
+
+
+def _init_surface(reso, links, capacity, surface_init, dtype):
+    """SDF initializers, mirroring ctor branches svox2.py:770-961."""
+    if surface_init is None:
+        return jnp.zeros((capacity, 1), dtype=dtype)
+    coords = np.stack(
+        np.meshgrid(
+            np.arange(reso[0]), np.arange(reso[1]), np.arange(reso[2]),
+            indexing="ij",
+        ),
+        axis=-1,
+    ).reshape(-1, 3)
+    grid_center = np.asarray(reso) / 2.0
+    rs = np.sqrt(np.sum((coords - grid_center) ** 2, axis=-1))
+    data = np.zeros((capacity, 1), dtype=np.float32)
+    lnk = links.reshape(-1)
+    valid = lnk >= 0
+    if surface_init == "sphere":
+        # concentric spheres every 2 voxels (svox2.py:779-793)
+        sphere_rs = np.arange(0, np.sqrt(np.sum((np.asarray(reso) / 2.0) ** 2)), 2) + 0.5
+        dists = rs[:, None] - sphere_rs[None, :]
+        nearest = dists[np.arange(dists.shape[0]), np.abs(dists).argmin(axis=-1)]
+        data[lnk[valid], 0] = nearest[valid]
+    elif surface_init == "single_sphere":
+        # single sphere of radius reso/4 (svox2.py:808-820 spirit)
+        data[lnk[valid], 0] = (rs - min(reso) / 4.0)[valid]
+    elif surface_init == "random":
+        rng = np.random.default_rng(0)
+        data[lnk[valid], 0] = rng.standard_normal(valid.sum()) * 0.1
+    else:
+        raise NotImplementedError(f"surface_init={surface_init}")
+    return jnp.asarray(data, dtype=dtype)
+
+
+# ---------------------------------------------------------------------------
+# Gather helpers
+# ---------------------------------------------------------------------------
+
+def gather_corner_links(links: jnp.ndarray, l: jnp.ndarray) -> jnp.ndarray:
+    """Fetch the 8 corner links of voxels ``l``.
+
+    :param links: (X, Y, Z) int32
+    :param l: (..., 3) int32 voxel base coords (caller guarantees in-bounds
+        after clamping; out-of-range is clamped, callers mask separately)
+    :return: (..., 8) int32 links
+    """
+    X, Y, Z = links.shape
+    corners = l[..., None, :] + jnp.asarray(CORNER_OFFSETS)  # (..., 8, 3)
+    cx = jnp.clip(corners[..., 0], 0, X - 1)
+    cy = jnp.clip(corners[..., 1], 0, Y - 1)
+    cz = jnp.clip(corners[..., 2], 0, Z - 1)
+    flat = (cx * Y + cy) * Z + cz
+    return jnp.take(links.reshape(-1), flat, axis=0)
+
+
+def fetch_links(data: jnp.ndarray, links8: jnp.ndarray) -> jnp.ndarray:
+    """Gather packed data rows for links, 0 for empty (link < 0).
+
+    Equivalent of ``SparseGrid._fetch_links`` (svox2.py:1016-1038) without the
+    boolean advanced indexing (masked gather instead — XLA-friendly).
+
+    :param data: (cap, C)
+    :param links8: (...,) int32
+    :return: (..., C)
+    """
+    safe = jnp.clip(links8, 0, data.shape[0] - 1)
+    vals = jnp.take(data, safe, axis=0)
+    return vals * (links8 >= 0)[..., None].astype(data.dtype)

@@ -1,0 +1,175 @@
+"""Ray/trilinear-isosurface intersection: cubic coefficients and roots.
+
+The trilinear interpolant of 8 corner scalars along a ray is a cubic in t.
+This module builds the cubic coefficients (equivalent of
+``surface_to_cubic_equation_01``, /root/reference/svox2/csrc/include/
+render_util.cuh:789-848, and the Python spec svox2.py:1987-2009) and solves
+for real roots analytically with the trigonometric (Vieta) method
+(render_util.cuh:1126-1203; svox2.py:2078-2164).
+
+Gradients: the reference hand-derives per-root-type closed-form gradients
+(``calc_cubic_root_grad_vieta``, render_util.cuh:1206-1704) in double
+precision. Here roots get their gradient by *implicit differentiation*
+instead: if f(t) = 0 then dt/df_i = -t^i / f'(t). This is mathematically
+identical but numerically far better conditioned in f32 (no acos/cbrt
+derivative chains), which is what makes the TPU fp32-first design viable
+(SURVEY.md §7 "hard parts" #1).
+
+Everything is vectorized over an arbitrary batch shape and safe under
+``jax.grad`` (double-where guards; no NaNs from inactive branches).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+NO_ROOT = -1.0  # marker for "no root in this slot" (matches svox2.py:2051)
+_ATOL = 1e-10
+_EPS = 1e-10
+
+
+def cubic_coeffs(s8: jnp.ndarray, u: jnp.ndarray, d: jnp.ndarray):
+    """Coefficients of f(t) = trilinear(s8)(u + t d).
+
+    :param s8: (..., 8) corner scalars in reference order (z fastest)
+    :param u: (..., 3) ray origin offset inside the voxel (origin - l),
+        typically evaluated at the voxel entry point so roots are well
+        conditioned (the "_01" re-origin trick, render_util.cuh:789)
+    :param d: (..., 3) unit grid-space direction
+    :return: (f0, f1, f2, f3) each (...,) with
+        f(t) = f3 t^3 + f2 t^2 + f1 t + f0
+    """
+    s000, s001, s010, s011, s100, s101, s110, s111 = [
+        s8[..., i] for i in range(8)
+    ]
+    ux, uy, uz = u[..., 0], u[..., 1], u[..., 2]
+    vx, vy, vz = d[..., 0], d[..., 1], d[..., 2]
+
+    # lerp along z at the four xy corner columns (svox2.py:1987-1995)
+    a00 = s000 * (1 - uz) + s001 * uz
+    a01 = s010 * (1 - uz) + s011 * uz
+    a10 = s100 * (1 - uz) + s101 * uz
+    a11 = s110 * (1 - uz) + s111 * uz
+
+    b00 = s001 - s000
+    b01 = s011 - s010
+    b10 = s101 - s100
+    b11 = s111 - s110
+
+    c0 = a00 * (1 - uy) + a01 * uy
+    c1 = a10 * (1 - uy) + a11 * uy
+
+    d0 = -(a00 * vy - vz * b00 * (1 - uy)) + (a01 * vy + vz * b01 * uy)
+    d1 = -(a10 * vy - vz * b10 * (1 - uy)) + (a11 * vy + vz * b11 * uy)
+
+    e0 = vy * vz * (b01 - b00)
+    e1 = vy * vz * (b11 - b10)
+
+    f3 = (e1 - e0) * vx
+    f2 = -d0 * vx + e0 * (1 - ux) + d1 * vx + e1 * ux
+    f1 = -c0 * vx + d0 * (1 - ux) + c1 * vx + d1 * ux
+    f0 = c0 * (1 - ux) + c1 * ux
+    return f0, f1, f2, f3
+
+
+def _cubic_roots_raw(f0, f1, f2, f3):
+    """Closed-form real roots; slots without a root hold NO_ROOT.
+
+    Branch structure mirrors svox2.py:2078-2158 (which is what the CUDA
+    Vieta solver implements): degenerate linear/quadratic handling with
+    atol=1e-10, then the trigonometric three-real-root case and the
+    one-real-root (Cardano-style) case. Root order within a slot triple is
+    ascending for quad/cubic — matching the reference's composite order.
+    """
+    dtype = f0.dtype
+    z = jnp.zeros_like(f0)
+
+    is3 = jnp.abs(f3) >= _ATOL
+    is2 = ~is3 & (jnp.abs(f2) >= _ATOL)
+    is1 = ~is3 & ~is2 & (jnp.abs(f1) >= _ATOL)
+
+    # ---- linear: f1 t + f0 = 0
+    t_lin = -f0 / jnp.where(is1, f1, 1.0)
+
+    # ---- quadratic: f2 t^2 + f1 t + f0 = 0
+    qb = jnp.where(is2, f2, 1.0)
+    D = f1 * f1 - 4.0 * f2 * f0
+    has2 = is2 & (D > 0)
+    sqrtD = jnp.sqrt(jnp.where(has2, D, 0.0))
+    q0 = (-f1 - sqrtD) / (2.0 * qb)
+    q1 = (-f1 + sqrtD) / (2.0 * qb)
+    t_q0 = jnp.minimum(q0, q1)
+    t_q1 = jnp.maximum(q0, q1)
+
+    # ---- cubic (normalized): t^3 + b t^2 + c t + d = 0
+    cf3 = jnp.where(is3, f3, 1.0)
+    b = f2 / cf3
+    c = f1 / cf3
+    d = f0 / cf3
+    Q = (b * b - 3.0 * c) / 9.0
+    R = (2.0 * b**3 - 9.0 * b * c + 27.0 * d) / 54.0
+
+    three_real = is3 & (R * R < Q**3)
+    Qs = jnp.where(three_real, Q, 1.0)  # safe: three_real implies Q > 0
+    sqrtQ = jnp.sqrt(Qs)
+    arg = jnp.clip(R / (sqrtQ**3), -1.0 + _EPS, 1.0 - _EPS)
+    theta = jnp.arccos(arg)
+    pi = jnp.asarray(jnp.pi, dtype)
+    t_c0 = -2.0 * sqrtQ * jnp.cos(theta / 3.0) - b / 3.0
+    t_c1 = -2.0 * sqrtQ * jnp.cos((theta - 2.0 * pi) / 3.0) - b / 3.0
+    t_c2 = -2.0 * sqrtQ * jnp.cos((theta + 2.0 * pi) / 3.0) - b / 3.0
+
+    one_real = is3 & ~three_real
+    disc = jnp.where(one_real, R * R - Q**3, 1.0)
+    A = -jnp.sign(R) * (jnp.abs(R) + jnp.sqrt(jnp.clip(disc, 1e-8))) ** (1.0 / 3.0)
+    Bv = jnp.where(A == 0.0, 0.0, Q / jnp.where(A == 0.0, 1.0, A))
+    t_s = A + Bv - b / 3.0
+
+    no = jnp.full_like(f0, NO_ROOT)
+    r0 = jnp.where(
+        three_real, t_c0,
+        jnp.where(one_real, t_s, jnp.where(has2, t_q0, jnp.where(is1, t_lin, no))),
+    )
+    r1 = jnp.where(three_real, t_c1, jnp.where(has2, t_q1, no))
+    r2 = jnp.where(three_real, t_c2, no)
+    return jnp.stack([r0, r1, r2], axis=-1)
+
+
+@jax.custom_jvp
+def cubic_roots(f0, f1, f2, f3):
+    """Real roots of f3 t^3 + f2 t^2 + f1 t + f0 = 0, shape (..., 3).
+
+    Slots without a real root hold NO_ROOT (-1). Gradients flow to the
+    coefficients by implicit differentiation (see module docstring).
+    """
+    return _cubic_roots_raw(f0, f1, f2, f3)
+
+
+@cubic_roots.defjvp
+def _cubic_roots_jvp(primals, tangents):
+    f0, f1, f2, f3 = primals
+    df0, df1, df2, df3 = tangents
+    t = _cubic_roots_raw(f0, f1, f2, f3)
+    valid = t != NO_ROOT
+    # f'(t) = 3 f3 t^2 + 2 f2 t + f1
+    fp = 3.0 * f3[..., None] * t * t + 2.0 * f2[..., None] * t + f1[..., None]
+    # guard near-degenerate (double) roots: |f'| clamped away from 0
+    fp_safe = jnp.where(jnp.abs(fp) < _EPS, jnp.sign(fp) * _EPS + (fp == 0) * _EPS, fp)
+    df = (
+        df0[..., None]
+        + df1[..., None] * t
+        + df2[..., None] * t * t
+        + df3[..., None] * t * t * t
+    )
+    dt = jnp.where(valid, -df / fp_safe, 0.0)
+    return t, dt
+
+
+def eval_cubic(t, f0, f1, f2, f3):
+    """Evaluate f at t (Horner)."""
+    return ((f3 * t + f2) * t + f1) * t + f0
+
+
+def eval_cubic_deriv(t, f1, f2, f3):
+    """Evaluate f'(t) = 3 f3 t^2 + 2 f2 t + f1."""
+    return (3.0 * f3 * t + 2.0 * f2) * t + f1

@@ -1,0 +1,106 @@
+"""Ray setup and bounded DDA voxel traversal.
+
+TPU-native replacement for the reference's two traversal schemes:
+  * the adaptive plane-stepping host loop (svox2.py:1451-1593), and
+  * the in-kernel DDA walk of ``trace_ray_surf_trav``
+    (/root/reference/svox2/csrc/render_lerp_kernel_surf_trav.cu:37-562).
+
+Dynamic, data-dependent ``while`` loops don't fit XLA's compilation model, so
+traversal here is a *bounded* ``lax.scan`` of ``max_voxels`` steps with masks
+past ``tmax`` — rays are padded/masked, never warp-scheduled (SURVEY.md §7).
+All functions operate in grid coordinates with unit-length direction vectors.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+_EPS_INT = 1e-6
+
+
+def preprocess_rays(grid, origins_w, dirs_w):
+    """World rays -> grid-space rays.
+
+    Matches svox2.py:1631-1642: origins to grid coords; dirs scaled by
+    (scaling * gsz) then renormalized to unit length. ``delta_scale`` converts
+    grid-space t-units back to world distances (used by sigma integration).
+    """
+    origins = grid.world2grid(origins_w)
+    viewdirs = dirs_w / jnp.linalg.norm(dirs_w, axis=-1, keepdims=True)
+    dirs = viewdirs * (grid.scaling * grid.gsz)
+    delta_scale = 1.0 / jnp.linalg.norm(dirs, axis=-1)
+    dirs = dirs * delta_scale[..., None]
+    return origins, dirs, viewdirs, delta_scale
+
+
+def ray_bounds(grid, origins, dirs, atol=1e-6):
+    """Entry/exit t of each ray with the vertex lattice [0, gsz-1]^3.
+
+    Mirrors svox2.py:1651-1665: candidate plane hits, drop negative-t and
+    out-of-lattice hits, tnear = min valid, tmax = max valid; tnear = 0 for
+    origins already inside.
+    """
+    gsz = grid.gsz
+    safe_dirs = jnp.where(dirs == 0, 1e-12, dirs)
+    ts_lo = (0.0 - origins) / safe_dirs
+    ts_hi = (gsz - 1.0 - origins) / safe_dirs
+    ts = jnp.concatenate([ts_lo, ts_hi], axis=-1)  # (B, 6)
+    pts = origins[..., None, :] + ts[..., :, None] * dirs[..., None, :]
+    inside = jnp.all(pts <= gsz - 1.0 + 1e-6, axis=-1) & jnp.all(
+        pts >= -1e-6, axis=-1
+    )
+    valid = (ts >= 0) & inside
+    tnear = jnp.min(jnp.where(valid, ts, jnp.inf), axis=-1)
+    tmax = jnp.max(jnp.where(valid, ts, -jnp.inf), axis=-1)
+    origin_inside = grid.within_grid(origins, atol=atol)
+    tnear = jnp.where(origin_inside, 0.0, tnear)
+    return tnear, tmax
+
+
+def next_crossing(origins, dirs, t, atol=_EPS_INT):
+    """t of the next axis-plane crossing after ``t``.
+
+    Equivalent of ``find_next_intersection`` (svox2.py:1451-1505) minus the
+    in-grid check (callers compare against tmax instead).
+    """
+    pos = origins + t[..., None] * dirs
+    fl = jnp.floor(pos)
+    on_plane = jnp.abs(fl - pos) <= atol
+    ce = jnp.ceil(pos)
+    on_plane_c = jnp.abs(ce - pos) <= atol
+    next_up = jnp.where(on_plane_c, ce + 1.0, ce)
+    next_dn = jnp.where(on_plane, fl - 1.0, fl)
+    next_plane = jnp.where(dirs >= 0, next_up, next_dn)
+    safe_dirs = jnp.where(dirs == 0, 1e-12, dirs)
+    steps = (next_plane - pos) / safe_dirs
+    steps = jnp.where((steps <= 0) | (dirs == 0) | ~jnp.isfinite(steps), jnp.inf, steps)
+    return t + jnp.min(steps, axis=-1)
+
+
+def voxel_between(origins, dirs, t0, t1, reso):
+    """Voxel containing the midpoint of segment [t0, t1]
+    (``find_mid_voxel``, svox2.py:1507-1513)."""
+    tm = 0.5 * (t0 + t1)
+    pos = origins + tm[..., None] * dirs
+    l = jnp.floor(pos).astype(jnp.int32)
+    in_bounds = jnp.all(l >= 0, axis=-1) & jnp.all(
+        l <= jnp.asarray(reso, jnp.int32) - 2, axis=-1
+    )
+    return l, in_bounds
+
+
+def voxel_plane_ts(origins, dirs, l):
+    """Entry (close) and exit (far) t of ray with voxel ``l``'s slab.
+
+    Mirrors svox2.py:1976-1980: close plane per axis is l + (d<0), far plane
+    l + (d>=0); close_t = max over axes, far_t = min.
+    """
+    lf = l.astype(origins.dtype)
+    neg = dirs < 0
+    close_planes = lf + neg.astype(origins.dtype)
+    far_planes = lf + (~neg).astype(origins.dtype)
+    safe_dirs = jnp.where(dirs == 0, 1e-12, dirs)
+    ct = (close_planes - origins) / safe_dirs
+    ft = (far_planes - origins) / safe_dirs
+    ct = jnp.where(jnp.isfinite(ct), ct, -jnp.inf)
+    ft = jnp.where(jnp.isfinite(ft), ft, jnp.inf)
+    return jnp.max(ct, axis=-1), jnp.min(ft, axis=-1)

@@ -1,0 +1,110 @@
+"""Plenoxels-style density volume renderer ("cuvol" backend).
+
+TPU-native equivalent of ``trace_ray_cuvol``
+(/root/reference/svox2/csrc/render_lerp_kernel_cuvol.cu:30-370) and the
+Python spec ``_volume_render_gradcheck_lerp``
+(/root/reference/svox2/svox2.py:1215-1441).
+
+Design: instead of a per-ray dynamic while-loop, a bounded ``lax.scan`` over
+``max_steps`` fixed-size steps with masking past ``tmax`` — rays are padded,
+never warp-scheduled. Differentiable end-to-end with ``jax.grad``; each step
+is wrapped in ``jax.checkpoint`` so the backward pass re-gathers grid values
+instead of storing them (the TPU analog of the CUDA backward's re-traversal,
+render_lerp_kernel_cuvol.cu:371).
+"""
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+
+from ..core.grid import SparseGrid, fetch_links, gather_corner_links
+from ..core.options import RenderOptions
+from ..core.rays import Rays
+from ..core.sh import eval_sh_bases
+from ..ops.trilerp import trilerp, voxel_of
+
+
+def max_steps_for(grid: SparseGrid, opt: RenderOptions) -> int:
+    """Static bound on ray-march steps: grid diagonal / step size."""
+    diag = math.sqrt(sum((r - 1) ** 2 for r in grid.reso))
+    return int(math.ceil(diag / opt.step_size)) + 2
+
+
+def volume_render_cuvol(
+    grid: SparseGrid,
+    rays: Rays,
+    opt: RenderOptions,
+    max_steps: int | None = None,
+    return_depth: bool = False,
+):
+    """Render rays with fixed-step sigma ray-marching.
+
+    :return: dict with 'rgb' (B, 3) and optionally 'depth' (B,)
+    """
+    if max_steps is None:
+        max_steps = max_steps_for(grid, opt)
+
+    origins = grid.world2grid(rays.origins)
+    viewdirs = rays.dirs / jnp.linalg.norm(rays.dirs, axis=-1, keepdims=True)
+    gsz = grid.gsz
+    dirs = viewdirs * (grid.scaling * gsz)
+    delta_scale = 1.0 / jnp.linalg.norm(dirs, axis=-1)
+    dirs = dirs * delta_scale[..., None]
+
+    sh_mult = eval_sh_bases(grid.basis_dim, viewdirs)  # (B, bd)
+
+    # cuvol bounds convention: sample-centered planes at -0.5 / gsz-0.5
+    # (svox2.py:1239-1248)
+    safe_dirs = jnp.where(dirs == 0, 1e-12, dirs)
+    t1 = (-0.5 - origins) / safe_dirs
+    t2 = (gsz - 0.5 - origins) / safe_dirs
+    tmin = jnp.where(dirs == 0, -1e9, jnp.minimum(t1, t2))
+    tmin = jnp.clip(jnp.max(tmin, axis=-1), min=opt.near_clip)
+    tmaxs = jnp.where(dirs == 0, 1e9, jnp.maximum(t1, t2))
+    tmax = jnp.min(tmaxs, axis=-1)
+
+    B = origins.shape[0]
+    reso = grid.reso
+
+    @functools.partial(jax.checkpoint, prevent_cse=False)
+    def step(carry, k):
+        log_T, rgb_acc, depth_acc = carry
+        t = tmin + k.astype(tmin.dtype) * opt.step_size
+        active = t <= tmax
+
+        pos = origins + t[..., None] * dirs
+        l, frac = voxel_of(pos, reso)
+        links8 = gather_corner_links(grid.links, l)
+        sigma = trilerp(fetch_links(grid.density_data, links8), frac)[..., 0]
+        rgb_sh = trilerp(fetch_links(grid.sh_data, links8), frac)
+
+        log_att = -opt.step_size * jax.nn.relu(sigma) * delta_scale
+        log_att = jnp.where(active, log_att, 0.0)
+        weight = jnp.exp(log_T) * (1.0 - jnp.exp(log_att))
+
+        rgb_sh = rgb_sh.reshape(B, 3, grid.basis_dim)
+        rgb = jnp.clip(
+            jnp.sum(sh_mult[:, None, :] * rgb_sh, axis=-1) + 0.5, min=0.0
+        )
+        rgb_acc = rgb_acc + weight[..., None] * rgb
+        depth_acc = depth_acc + weight * t
+        log_T = log_T + log_att
+        return (log_T, rgb_acc, depth_acc), None
+
+    init = (
+        jnp.zeros(B, dtype=origins.dtype),
+        jnp.zeros((B, 3), dtype=origins.dtype),
+        jnp.zeros(B, dtype=origins.dtype),
+    )
+    (log_T, rgb_acc, depth_acc), _ = jax.lax.scan(
+        step, init, jnp.arange(max_steps)
+    )
+
+    rgb_out = rgb_acc + jnp.exp(log_T)[..., None] * opt.background_brightness
+    out = {"rgb": rgb_out, "log_transmit": log_T}
+    if return_depth:
+        out["depth"] = depth_acc
+    return out
