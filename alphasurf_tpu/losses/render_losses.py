@@ -95,6 +95,65 @@ def l_sparsity(samples):
     return jnp.sum(jnp.where(valid, term, 0.0))
 
 
+# ---------------------------------------------------------------------------
+# Streaming variants: combine the per-ray accumulators emitted by the
+# renderer ('ray_losses' output) into scalars. Exact equivalents of the
+# cache-based functions above, with no sample cap and O(1) memory per ray.
+# ---------------------------------------------------------------------------
+
+def l_dist_from_ray_losses(ray_losses, alphas: bool = True):
+    key = "l_dist_a" if alphas else "l_dist"
+    return jnp.mean(ray_losses[key])
+
+
+def l_entropy_from_ray_losses(ray_losses, alphas: bool = False):
+    key = "l_entropy_a" if alphas else "l_entropy"
+    return jnp.mean(ray_losses[key])
+
+
+def l_sparsity_from_ray_losses(ray_losses):
+    """sum_j log(sigma_j) (1 - w_j / sum w), weights detached
+    (svox2.py:2523-2527)."""
+    tot_w = jnp.clip(jnp.sum(ray_losses["sp_w"]), min=1e-10)
+    per_ray_w = jnp.clip(ray_losses["sp_w"], min=1e-10)
+    return jnp.sum(ray_losses["sp_logsig"] - ray_losses["sp_logsig_w"] / per_ray_w)
+
+
+def l_conv_mode_samp_from_cache(cache):
+    """Convergence-to-mode from the bounded cache (svox2.py:2495-2503)."""
+    w = cache["weights"]
+    t = cache["ts"]
+    mode_ids = jnp.argmax(w, axis=-1)
+    t_mode = jnp.take_along_axis(t, mode_ids[..., None], axis=-1)
+    valid = _cache_valid(cache)
+    mask = valid & ~cache["fake_mask"] & (cache["alphas"] > 1e-8)
+    return jnp.sum(jnp.where(mask, jnp.abs(t - t_mode), 0.0))
+
+
+def l_samp_dist_from_cache(cache):
+    """Sample-distance concentration from the bounded cache
+    (svox2.py:2509-2515)."""
+    import jax as _jax
+
+    a = cache["alphas"]
+    t = cache["ts"]
+    na = a / jnp.clip(jnp.sum(a, axis=-1, keepdims=True), min=1e-8)
+    na = _jax.lax.stop_gradient(na)
+    mean_dist = jnp.sum(na * t, axis=-1, keepdims=True)
+    valid = _cache_valid(cache)
+    per_ray = jnp.sum(jnp.where(valid, jnp.abs(mean_dist - t), 0.0), axis=-1)
+    return jnp.mean(per_ray)
+
+
+def _cache_valid(cache):
+    """Written-slot mask of the bounded cache: slot k valid iff k < n_cached."""
+    K = cache["ts"].shape[-1]
+    return (
+        jnp.arange(K, dtype=cache["n_cached"].dtype)[None, :]
+        < cache["n_cached"][:, None]
+    )
+
+
 def density_lap_loss(samples):
     """Bimodal alpha prior (svox2.py:2608-2617): mean over samples of
     -log(exp(-a) + exp(-(1-a))), shifted positive."""

@@ -103,14 +103,25 @@ def volume_render_surface(
     opt: RenderOptions,
     max_voxels: int | None = None,
     return_samples: bool = False,
+    cache_size: int | None = None,
 ):
     """Render rays against the surface grid.
 
+    :param return_samples: emit full per-sample caches (tests/debug only —
+        O(max_voxels) memory per ray)
+    :param cache_size: if set, keep a bounded per-ray cache of the first K
+        samples (t, alpha, weight, fake) for the two-pass losses
+        (l_conv_mode_samp / l_samp_dist) — the analog of the kernel's
+        ``l_dist_max_sample`` ring buffer (surf_trav.cu:407-414)
     :return: dict with
         'rgb' (B, 3), 'depth' (B,), 'log_transmit' (B,),
-        'samples': dict of per-sample caches, each (B, S) where
-            S = max_voxels * (3 * n_lv + 1):
-            'ts', 'alphas' (post-reweight), 'weights', 'fake_mask', 'valid'
+        'ray_losses': per-ray streaming loss accumulators, each (B,):
+            'l_dist' / 'l_dist_a' (weights/alpha distortion, Σ_{i<j} terms),
+            'l_entropy' / 'l_entropy_a', and the l_sparsity pieces
+            'sp_logsig', 'sp_logsig_w', 'sp_w' (combined by
+            losses.render_losses.l_sparsity_from_ray_losses)
+        'cache': bounded sample cache dict (if cache_size), each (B, K)
+        'samples': full caches (if return_samples), each (B, S)
     """
     assert grid.surface_data is not None, "surface grid required"
     if max_voxels is None:
@@ -138,7 +149,13 @@ def volume_render_surface(
 
     @functools.partial(jax.checkpoint, prevent_cse=False)
     def step(carry, _):
-        t, log_T, rgb_acc, depth_acc, real_cnt, alive = carry
+        t = carry["t"]
+        log_T = carry["log_T"]
+        rgb_acc = carry["rgb"]
+        depth_acc = carry["depth"]
+        real_cnt = carry["cnt"]
+        alive = carry["alive"]
+        acc = carry["acc"]
 
         next_t = dda.next_crossing(origins, dirs, t)
         has_next = jnp.isfinite(next_t)
@@ -253,7 +270,7 @@ def volume_render_surface(
                 alpha = alpha * rw
             slot_data.append((tf, alpha, rgb, take, True))
 
-        # ---- sequential composite over slots ----
+        # ---- sequential composite over slots + streaming loss updates ----
         ts_slots, a_slots, w_slots, fake_slots, valid_slots = [], [], [], [], []
         for t_s, alpha, rgb, contrib, is_fake in slot_data:
             alpha = jnp.where(contrib, alpha, 0.0)
@@ -264,37 +281,115 @@ def volume_render_surface(
             rgb_acc = rgb_acc + weight[..., None] * rgb
             depth_acc = depth_acc + weight * t_s
             log_T = log_T + log_att
-            ts_slots.append(jnp.where(contrib, t_s, 0.0))
-            a_slots.append(alpha)
-            w_slots.append(weight)
-            fake_slots.append(jnp.full(B, is_fake) & contrib)
-            valid_slots.append(contrib)
+
+            # streaming per-ray losses (exact, no sample cap — replaces the
+            # kernel's 64-sample cache, surf_trav.cu:2143-2300)
+            inc = contrib & (opt.fake_sample_l_dist or not is_fake)
+            a_i = jnp.where(inc, alpha, 0.0)
+            w_i = jnp.where(inc, weight, 0.0)
+            # distortion: sum_{i<j} x_i x_j (t_j - t_i), streamed via
+            # exclusive running sums (ascending-t order is guaranteed)
+            acc["l_dist_a"] = acc["l_dist_a"] + a_i * (t_s * acc["A_a"] - acc["S_a"])
+            acc["A_a"] = acc["A_a"] + a_i
+            acc["S_a"] = acc["S_a"] + a_i * t_s
+            acc["l_dist"] = acc["l_dist"] + w_i * (t_s * acc["A_w"] - acc["S_w"])
+            acc["A_w"] = acc["A_w"] + w_i
+            acc["S_w"] = acc["S_w"] + w_i * t_s
+            # entropy: -x log x
+            acc["l_entropy"] = acc["l_entropy"] + jnp.where(
+                w_i > 0, -w_i * jnp.log(jnp.clip(w_i, min=1e-8)), 0.0
+            )
+            acc["l_entropy_a"] = acc["l_entropy_a"] + jnp.where(
+                a_i > 0, -a_i * jnp.log(jnp.clip(a_i, min=1e-8)), 0.0
+            )
+            # sparsity pieces: sigma = -log(1-a); loss needs
+            # sum_j log(sigma_j) * (1 - w_j / sum(w)) with detached weights
+            logsig = jnp.where(
+                contrib,
+                jnp.log(jnp.clip(-jnp.log(jnp.clip(1.0 - alpha, min=1e-8)), min=1e-8)),
+                0.0,
+            )
+            w_sg = jax.lax.stop_gradient(jnp.where(contrib, weight, 0.0))
+            acc["sp_logsig"] = acc["sp_logsig"] + logsig
+            acc["sp_logsig_w"] = acc["sp_logsig_w"] + logsig * w_sg
+            acc["sp_w"] = acc["sp_w"] + w_sg
+
+            if cache_size is not None:
+                K = cache_size
+                slot_idx = jnp.clip(acc["n_cached"], 0, K - 1)
+                write = contrib & (acc["n_cached"] < K)
+                onehot = (
+                    jax.lax.broadcasted_iota(jnp.int32, (B, K), 1)
+                    == slot_idx[:, None]
+                ) & write[:, None]
+                ohf = onehot.astype(dtype)
+                acc["c_ts"] = acc["c_ts"] + ohf * t_s[:, None]
+                acc["c_alphas"] = acc["c_alphas"] + ohf * alpha[:, None]
+                acc["c_weights"] = acc["c_weights"] + ohf * weight[:, None]
+                acc["c_fake"] = acc["c_fake"] | (onehot & is_fake)
+                acc["n_cached"] = acc["n_cached"] + write.astype(jnp.int32)
+
+            if return_samples:
+                ts_slots.append(jnp.where(contrib, t_s, 0.0))
+                a_slots.append(alpha)
+                w_slots.append(weight)
+                fake_slots.append(jnp.full(B, is_fake) & contrib)
+                valid_slots.append(contrib)
 
         if opt.stop_thresh > 0:
             alive = alive & (log_T > math.log(opt.stop_thresh))
         alive = alive & (next_t_safe < tmax + 1e-6) & has_next
 
-        t_new = jnp.where(seg_ok, next_t_safe, t)
-        ys = (
-            jnp.stack(ts_slots, axis=-1),
-            jnp.stack(a_slots, axis=-1),
-            jnp.stack(w_slots, axis=-1),
-            jnp.stack(fake_slots, axis=-1),
-            jnp.stack(valid_slots, axis=-1),
-        )
-        return (t_new, log_T, rgb_acc, depth_acc, cnt, alive), ys
+        new_carry = {
+            "t": jnp.where(seg_ok, next_t_safe, t),
+            "log_T": log_T,
+            "rgb": rgb_acc,
+            "depth": depth_acc,
+            "cnt": cnt,
+            "alive": alive,
+            "acc": acc,
+        }
+        if return_samples:
+            ys = (
+                jnp.stack(ts_slots, axis=-1),
+                jnp.stack(a_slots, axis=-1),
+                jnp.stack(w_slots, axis=-1),
+                jnp.stack(fake_slots, axis=-1),
+                jnp.stack(valid_slots, axis=-1),
+            )
+        else:
+            ys = None
+        return new_carry, ys
 
-    init = (
-        t0,
-        jnp.zeros(B, dtype),
-        jnp.zeros((B, 3), dtype),
-        jnp.zeros(B, dtype),
-        jnp.zeros(B, jnp.int32),
-        ray_ok,
-    )
-    (t_f, log_T, rgb_acc, depth_acc, cnt, _), ys = jax.lax.scan(
-        step, init, None, length=max_voxels
-    )
+    zb = jnp.zeros(B, dtype)
+    acc0 = {
+        k: zb
+        for k in (
+            "l_dist", "l_dist_a", "A_a", "S_a", "A_w", "S_w",
+            "l_entropy", "l_entropy_a", "sp_logsig", "sp_logsig_w", "sp_w",
+        )
+    }
+    if cache_size is not None:
+        acc0["c_ts"] = jnp.zeros((B, cache_size), dtype)
+        acc0["c_alphas"] = jnp.zeros((B, cache_size), dtype)
+        acc0["c_weights"] = jnp.zeros((B, cache_size), dtype)
+        acc0["c_fake"] = jnp.zeros((B, cache_size), bool)
+        acc0["n_cached"] = jnp.zeros(B, jnp.int32)
+    init = {
+        "t": t0,
+        "log_T": zb,
+        "rgb": jnp.zeros((B, 3), dtype),
+        "depth": zb,
+        "cnt": jnp.zeros(B, jnp.int32),
+        "alive": ray_ok,
+        "acc": acc0,
+    }
+    final, ys = jax.lax.scan(step, init, None, length=max_voxels)
+    log_T = final["log_T"]
+    rgb_acc = final["rgb"]
+    depth_acc = final["depth"]
+    cnt = final["cnt"]
+    acc = final["acc"]
 
     rgb_out = rgb_acc + jnp.exp(log_T)[..., None] * opt.background_brightness
 
@@ -303,7 +398,22 @@ def volume_render_surface(
         "depth": depth_acc,
         "log_transmit": log_T,
         "n_intersections": cnt,
+        "ray_losses": {
+            k: acc[k]
+            for k in (
+                "l_dist", "l_dist_a", "l_entropy", "l_entropy_a",
+                "sp_logsig", "sp_logsig_w", "sp_w",
+            )
+        },
     }
+    if cache_size is not None:
+        out["cache"] = {
+            "ts": acc["c_ts"],
+            "alphas": acc["c_alphas"],
+            "weights": acc["c_weights"],
+            "fake_mask": acc["c_fake"],
+            "n_cached": acc["n_cached"],
+        }
     if return_samples:
         # ys: each (max_voxels, B, slots) -> (B, max_voxels * slots)
         def flat(y):
