@@ -1,0 +1,118 @@
+"""Procedural synthetic dataset (no files needed).
+
+Renders ground-truth images of a known SDF grid with the framework's own
+renderer from orbit cameras. Used by tests, the training smoke pipeline and
+bench.py — the analog of the reference's synthetic gradcheck fixtures
+(test/test_render_gradcheck_surface.py:26-77) extended to a full dataset.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from .. import defs
+from ..core.grid import create_grid
+from ..core.options import RenderOptions
+from ..core.rays import Camera
+from .base import DatasetBase, Intrin
+
+
+def pose_spherical(azimuth_deg: float, elevation_deg: float, radius: float):
+    """OpenCV c2w looking at origin from spherical coordinates."""
+    az = np.deg2rad(azimuth_deg)
+    el = np.deg2rad(elevation_deg)
+    eye = radius * np.array(
+        [np.cos(el) * np.cos(az), np.cos(el) * np.sin(az), np.sin(el)]
+    )
+    forward = -eye / np.linalg.norm(eye)  # +z toward origin (OpenCV)
+    up = np.array([0.0, 0.0, -1.0])
+    right = np.cross(forward, up)
+    if np.linalg.norm(right) < 1e-6:
+        right = np.array([1.0, 0.0, 0.0])
+    right = right / np.linalg.norm(right)
+    down = np.cross(forward, right)
+    c2w = np.eye(4, dtype=np.float32)
+    c2w[:3, 0] = right
+    c2w[:3, 1] = down
+    c2w[:3, 2] = forward
+    c2w[:3, 3] = eye
+    return c2w
+
+
+def make_gt_grid(reso=32, seed=0, basis_dim=4, dtype=None):
+    """A positive-inside SDF sphere with smooth random SH color and
+    semi-transparent alpha — exercises the full surface-render path."""
+    import jax.numpy as jnp
+
+    dtype = dtype or jnp.float32
+    g = create_grid(
+        reso, radius=1.0, basis_dim=basis_dim,
+        surface_type=defs.SURFACE_TYPE_SDF, surface_init="single_sphere",
+        init_sigma=3.0,
+    )
+    # positive inside (reference convention, svox2.py:3059)
+    g = g.replace(surface_data=-g.surface_data)
+    rng = np.random.default_rng(seed)
+    coords = np.stack(
+        np.meshgrid(*[np.arange(r) for r in g.reso], indexing="ij"), axis=-1
+    ).reshape(-1, 3) / max(g.reso)
+    # smooth low-frequency SH color field
+    freqs = rng.normal(size=(3, basis_dim * 3)) * 2.0
+    phase = rng.uniform(0, 2 * np.pi, basis_dim * 3)
+    sh = 0.35 * np.sin(coords @ freqs * 2 * np.pi / 4 + phase)
+    return g.replace(sh_data=jnp.asarray(sh, dtype))
+
+
+class SyntheticDataset(DatasetBase):
+    """Orbit-camera dataset rendered from ``make_gt_grid``."""
+
+    def __init__(
+        self,
+        root: str = "",  # unused; registry compatibility
+        split: str = "train",
+        n_images: int | None = 20,
+        width: int = 64,
+        height: int = 64,
+        reso: int = 32,
+        seed: int = 0,
+        epoch_size=None,
+        permutation: bool = True,
+        **kwargs,
+    ):
+        super().__init__()
+        import jax.numpy as jnp
+
+        from ..render.surface import volume_render_surface
+
+        n_images = 20 if n_images is None else n_images
+        self.permutation = permutation
+        self.epoch_size = epoch_size
+        self.split = split
+        gt_grid = make_gt_grid(reso=reso, seed=seed)
+        self.gt_grid = gt_grid
+
+        opt = RenderOptions(
+            sigma_thresh=-1e9, stop_thresh=-1.0, only_outward_intersect=True
+        )
+        rng = np.random.default_rng(seed + (0 if split == "train" else 1))
+        focal = 1.2 * width
+        c2ws, imgs = [], []
+        for i in range(n_images):
+            az = 360.0 * i / n_images + rng.uniform(0, 10)
+            el = rng.uniform(-60, 60)
+            c2w = pose_spherical(az, el, 2.7)
+            cam = Camera.make(c2w, fx=focal, width=width, height=height)
+            rays = cam.gen_rays()
+            out = volume_render_surface(gt_grid, rays, opt)
+            imgs.append(np.asarray(out["rgb"]).reshape(height, width, 3))
+            c2ws.append(c2w)
+        self.c2w = np.stack(c2ws)
+        self.gt = np.clip(np.stack(imgs), 0.0, 1.0).astype(np.float32)
+        self.n_images, self.h_full, self.w_full = n_images, height, width
+        self.intrins_full = Intrin(focal, focal, width * 0.5, height * 0.5)
+        self.scene_scale = 1.0
+        self.should_use_background = False
+        if split == "train":
+            self.gen_rays()
+        else:
+            self.h, self.w = height, width
+            self.intrins = self.intrins_full

@@ -104,7 +104,4 @@ def volume_render_cuvol(
     )
 
     rgb_out = rgb_acc + jnp.exp(log_T)[..., None] * opt.background_brightness
-    out = {"rgb": rgb_out, "log_transmit": log_T}
-    if return_depth:
-        out["depth"] = depth_acc
-    return out
+    return {"rgb": rgb_out, "log_transmit": log_T, "depth": depth_acc}

@@ -1,0 +1,347 @@
+"""Training driver — the host loop.
+
+Re-design of /root/reference/opt/opt.py: three-stage pipeline (Plenoxels
+sigma warm-start -> density->SDF conversion -> surface refinement), schedule
+evaluation on host, jitted steps on device, periodic eval/checkpoint,
+upsampling. Stage control (no_surface_init_iters, surface_init_freeze,
+lr_fg_begin_step) mirrors opt.py:687-786.
+"""
+from __future__ import annotations
+
+import math
+import os
+import time
+from os import path
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import defs
+from ..app.config import Config, render_options_from
+from ..core import topology
+from ..core.grid import SparseGrid, create_grid
+from ..core.rays import Camera, Rays
+from ..optim.schedules import expon_lr_func, linear_lr_func, make_decay_func
+from ..render.image import render_image
+from ..utils.io import load_grid, save_grid
+from .steps import HParams, StepConfig, init_rms, make_cuvol_step, make_surface_step
+
+
+class Trainer:
+    def __init__(self, cfg: Config, dset, dset_test=None):
+        self.cfg = cfg
+        self.dset = dset
+        self.dset_test = dset_test
+        self.rng = np.random.default_rng(cfg.seed)
+        self.key = jax.random.PRNGKey(cfg.seed)
+        self.gstep = 0
+        os.makedirs(cfg.train_dir, exist_ok=True)
+        self._build_grid()
+        self._build_schedules()
+        self.rms = init_rms(self.grid)
+        self._step_fns = {}
+        self.log_lines = []
+
+    # ---------------- grid construction ----------------
+    def _build_grid(self):
+        cfg = self.cfg
+        surface_type = defs.SURFACE_TYPE_STRS.get(cfg.surface_type, defs.SURFACE_TYPE_NONE)
+        reso0 = cfg.reso[0] if isinstance(cfg.reso[0], (list, tuple)) else cfg.reso
+        self.reso_id = 0
+        radius = [r * cfg.scene_radius_rescale for r in self.dset.scene_radius]
+
+        if cfg.load_pretrain_density_sh:
+            # warm start from a Plenoxels checkpoint (opt.py:288-372)
+            ckpt = cfg.load_pretrain_density_sh
+            if path.isdir(ckpt):
+                ckpt = path.join(ckpt, "ckpt.npz")
+            grid, _ = load_grid(ckpt)
+            if cfg.density_load_rescale != 1.0:
+                grid = grid.replace(
+                    density_data=grid.density_data * cfg.density_load_rescale
+                )
+            self.grid = grid
+            self.pretrained_density = True
+        else:
+            self.grid = create_grid(
+                reso0,
+                radius=radius,
+                center=self.dset.scene_center,
+                basis_dim=cfg.sh_dim,
+                surface_type=surface_type
+                if cfg.no_surface_init_iters == 0 and surface_type != defs.SURFACE_TYPE_NONE
+                else defs.SURFACE_TYPE_NONE,
+                surface_init=None,
+                use_sphere_bound=self.dset.use_sphere_bound and not cfg.nosphereinit,
+                init_sigma=cfg.init_sigma,
+            )
+            self.pretrained_density = False
+        self.target_surface_type = surface_type
+        self.surface_initialized = self.grid.surface_data is not None
+
+    def _build_schedules(self):
+        cfg = self.cfg
+        self.lr_sigma_func = expon_lr_func(
+            cfg.lr_sigma, cfg.lr_sigma_final, cfg.lr_sigma_delay_steps,
+            cfg.lr_sigma_delay_mult, cfg.lr_sigma_decay_steps,
+        )
+        self.lr_alpha_func = expon_lr_func(
+            cfg.lr_alpha, cfg.lr_alpha_final, cfg.lr_alpha_delay_steps,
+            cfg.lr_alpha_delay_mult, cfg.lr_alpha_decay_steps, cfg.lr_alpha_fix_delay,
+        )
+        self.lr_surface_func = expon_lr_func(
+            cfg.lr_surface, cfg.lr_surface_final, cfg.lr_surface_delay_steps,
+            cfg.lr_surface_delay_mult, cfg.lr_surface_decay_steps, cfg.lr_surf_fix_delay,
+        )
+        self.lr_sh_func = expon_lr_func(
+            cfg.lr_sh, cfg.lr_sh_final, cfg.lr_sh_delay_steps,
+            cfg.lr_sh_delay_mult, cfg.lr_sh_decay_steps,
+        )
+        self.lr_sh_surf_func = expon_lr_func(
+            cfg.lr_sh_surf, cfg.lr_sh_surf_final, cfg.lr_sh_surf_delay_steps,
+            cfg.lr_sh_surf_delay_mult, cfg.lr_sh_surf_decay_steps, cfg.lr_sh_surf_fix_delay,
+        )
+        self.lr_fss_func = expon_lr_func(
+            cfg.lr_fake_sample_std, cfg.lr_fake_sample_std_final,
+            cfg.lr_fake_sample_std_delay_steps, cfg.lr_fake_sample_std_delay_mult,
+            cfg.lr_fake_sample_std_decay_steps,
+        )
+        self.fake_sample_std_func = make_decay_func(
+            cfg.fs_std_decay_type, cfg.fake_sample_std, cfg.fake_sample_std_final,
+            cfg.fake_sample_std_delay, max_steps=cfg.fake_sample_std_decay_steps,
+        )
+        self.trunc_vol_a_func = make_decay_func(
+            cfg.trunc_vol_a_decay_type, cfg.truncated_vol_render_a,
+            cfg.truncated_vol_render_a_final, cfg.truncated_vol_render_a_delay,
+            max_steps=cfg.truncated_vol_render_a_decay_steps,
+        )
+
+    # ---------------- per-stage jitted steps ----------------
+    def _get_step(self, kind: str, no_surface: bool):
+        cfg = self.cfg
+        cache_key = (kind, self.grid.reso, self.grid.capacity,
+                     None if self.grid.level_set_data is None
+                     else self.grid.level_set_data.shape[0])
+        if cache_key in self._step_fns:
+            return self._step_fns[cache_key]
+        opt = render_options_from(cfg, no_surface=no_surface)
+        scfg = StepConfig(
+            opt=opt,
+            tv_sparsity=cfg.tv_sparsity,
+            tv_sh_sparsity=cfg.tv_sh_sparsity,
+            tv_surface_sparsity=cfg.tv_surface_sparsity,
+            norm_surface_sparsity=cfg.norm_surface_sparsity,
+            sparsify_sparsity=cfg.alpha_surf_sparsify_sparsity,
+            norm_con_check=not cfg.no_surf_norm_con_check,
+            norm_ignore_empty=cfg.surf_norm_reg_ignore_empty,
+            sparsify_surf_decrease=cfg.sparsify_surf_decrease,
+            sparsify_surf_thresh=cfg.sparsify_surf_thresh,
+            surf_tv_alpha_weighted=cfg.surf_tv_alpha_dependency,
+            rms_beta=cfg.rms_beta,
+            use_two_pass_losses=(cfg.lambda_conv_mode_samp > 0 or cfg.lambda_l_samp_dist > 0),
+        )
+        fn = make_cuvol_step(scfg) if kind == "cuvol" else make_surface_step(scfg)
+        self._step_fns[cache_key] = fn
+        return fn
+
+    def _hparams(self, no_surface: bool) -> HParams:
+        cfg = self.cfg
+        g = self.gstep
+        lr_sh = (
+            self.lr_sh_func(g)
+            if (not self.surface_initialized or no_surface)
+            else self.lr_sh_surf_func(g)
+        )
+        frozen = self.surface_initialized and (
+            g < cfg.surface_init_freeze + cfg.no_surface_init_iters
+        )
+        return HParams(
+            lr_sigma=self.lr_sigma_func(g),
+            lr_alpha=self.lr_alpha_func(g),
+            lr_surface=self.lr_surface_func(g),
+            lr_sh=lr_sh,
+            lr_fake_sample_std=self.lr_fss_func(g),
+            img_lambda_l1_ratio=cfg.img_lambda_l1_ratio,
+            lambda_tv=cfg.lambda_tv,
+            lambda_tv_sh=cfg.lambda_tv_sh,
+            lambda_tv_alpha=cfg.lambda_tv_alpha,
+            lambda_tv_surface=cfg.lambda_tv_surface,
+            lambda_normal_l1=cfg.lambda_normal_loss_l1,
+            lambda_normal_l2=cfg.lambda_normal_loss_l2,
+            lambda_sparsify_alpha=cfg.lambda_sparsify_alpha
+            if g > cfg.delay_sparsify_alpha else 0.0,
+            lambda_sparsify_surf=cfg.lambda_sparsify_surf
+            if g > cfg.delay_sparsify_surf else 0.0,
+            lambda_l_dist=cfg.lambda_l_dist,
+            lambda_l_dist_a=cfg.lambda_l_dist_a,
+            lambda_l_entropy=cfg.lambda_l_entropy if g < cfg.l_entropy_step else 0.0,
+            lambda_l_entropy_a=cfg.lambda_l_entropy_a if g < cfg.l_entropy_step else 0.0,
+            lambda_conv_mode_samp=cfg.lambda_conv_mode_samp
+            if g < cfg.conv_mode_step else 0.0,
+            lambda_samp_dist=cfg.lambda_l_samp_dist,
+            lambda_sparsity=cfg.lambda_sparsity
+            if (not self.surface_initialized or no_surface)
+            else cfg.lambda_inplace_alpha_sparsify,
+            lambda_eikonal=cfg.lambda_surface_eikonal,
+            lambda_fs_std_l1=cfg.lambda_fake_sample_std_l1,
+            lambda_fs_std_l2=cfg.lambda_fake_sample_std_l2,
+            surface_unfrozen=0.0 if frozen else 1.0,
+        )
+
+    # ---------------- stage transitions ----------------
+    def maybe_init_surface(self):
+        """Density -> SDF conversion at no_surface_init_iters (opt.py:747-780)
+        or immediately when warm-starting from a Plenoxels ckpt."""
+        cfg = self.cfg
+        if self.surface_initialized or self.target_surface_type == defs.SURFACE_TYPE_NONE:
+            return
+        self.log(f"[stage] init_surface_from_density at step {self.gstep}")
+        self.grid = topology.init_surface_from_density(
+            self.grid,
+            density_lvs=cfg.surf_init_density_lvs,
+            alpha_rescale=cfg.surf_init_alpha_rescale,
+            prune_threshold=min(cfg.surf_init_density_lvs) / 2,
+            dilate=cfg.surf_init_dilate,
+            zero_lv_density=cfg.zero_lv_density,
+        )
+        self.grid = self.grid.replace(surface_type=self.target_surface_type)
+        self.surface_initialized = True
+        self.rms = init_rms(self.grid)
+
+    def maybe_upsample(self):
+        cfg = self.cfg
+        if self.reso_id + 1 >= len(cfg.reso):
+            return
+        if self.gstep > 0 and self.gstep % cfg.upsamp_every == 0:
+            self.reso_id += 1
+            new_reso = cfg.reso[self.reso_id]
+            self.log(f"[stage] upsample -> {new_reso} at step {self.gstep}")
+            self.grid = topology.upsample(self.grid, new_reso)
+            if cfg.upsample_density_add:
+                self.grid = self.grid.replace(
+                    density_data=self.grid.density_data + cfg.upsample_density_add
+                )
+            self.rms = init_rms(self.grid)
+
+    # ---------------- core loop ----------------
+    def log(self, msg):
+        print(msg, flush=True)
+        self.log_lines.append(msg)
+
+    def train(self, n_iters: Optional[int] = None):
+        cfg = self.cfg
+        n_iters = n_iters or cfg.n_iters
+        dset = self.dset
+
+        if self.pretrained_density and not self.surface_initialized:
+            self.maybe_init_surface()
+
+        epoch_rays = len(dset.rays)
+        batch_begin = epoch_rays  # trigger shuffle on first iter
+        stats_acc = {"mse": 0.0, "n": 0}
+        t_start = time.time()
+        while self.gstep < n_iters:
+            if batch_begin + cfg.batch_size > epoch_rays:
+                dset.shuffle_rays(self.rng)
+                batch_begin = 0
+            no_surface = (not self.surface_initialized) or (
+                self.gstep < cfg.no_surface_init_iters
+            )
+            if (
+                self.gstep == cfg.no_surface_init_iters
+                and cfg.no_surface_init_iters > 0
+            ):
+                self.maybe_init_surface()
+                no_surface = not self.surface_initialized
+
+            batch = dset.rays[batch_begin : batch_begin + cfg.batch_size]
+            batch_begin += cfg.batch_size
+            if len(batch) < cfg.batch_size:
+                continue
+
+            # scheduled grid scalars (opt.py:720-725)
+            g = self.grid
+            if g.fake_sample_std is not None and not cfg.trainable_fake_sample_std:
+                g = g.replace(
+                    fake_sample_std=jnp.full((1, 1), self.fake_sample_std_func(self.gstep),
+                                             g.density_data.dtype)
+                )
+            elif g.fake_sample_std is None and cfg.surf_fake_sample and g.surface_data is not None:
+                g = g.replace(
+                    fake_sample_std=jnp.full((1, 1), self.fake_sample_std_func(self.gstep),
+                                             g.density_data.dtype)
+                )
+            g = g.replace(
+                truncated_vol_render_a=jnp.asarray(
+                    self.trunc_vol_a_func(self.gstep), g.density_data.dtype
+                )
+            )
+            self.grid = g
+
+            kind = "cuvol" if (no_surface or g.surface_data is None) else "surface"
+            step_fn = self._get_step(kind, no_surface)
+            hp = self._hparams(no_surface)
+            self.key, sub = jax.random.split(self.key)
+            rays = Rays(
+                jnp.asarray(batch.origins), jnp.asarray(batch.dirs),
+                None if batch.mask is None else jnp.asarray(batch.mask),
+            )
+            self.grid, self.rms, stats = step_fn(
+                self.grid, self.rms, rays, jnp.asarray(batch.gt), hp, sub
+            )
+            mse = float(stats["mse"])
+            stats_acc["mse"] += mse
+            stats_acc["n"] += 1
+            self.gstep += 1
+
+            if self.gstep % cfg.print_every == 0:
+                avg_mse = stats_acc["mse"] / max(stats_acc["n"], 1)
+                psnr = -10.0 * math.log10(max(avg_mse, 1e-12))
+                dt = time.time() - t_start
+                self.log(
+                    f"step {self.gstep} [{kind}] mse={avg_mse:.5f} psnr={psnr:.2f} "
+                    f"({self.gstep / dt:.1f} it/s)"
+                )
+                stats_acc = {"mse": 0.0, "n": 0}
+
+            if cfg.eval_every_iter and self.gstep % cfg.eval_every_iter == 0:
+                self.eval_step()
+            if cfg.save_every > 0 and self.gstep % cfg.save_every == 0:
+                self.save()
+            self.maybe_upsample()
+
+        self.save()
+        return self.eval_step(final=True)
+
+    # ---------------- eval / io ----------------
+    def eval_step(self, final: bool = False):
+        cfg = self.cfg
+        dset = self.dset_test or self.dset
+        n_views = dset.n_images if final and cfg.final_render_eval else min(
+            cfg.n_eval_test, dset.n_images
+        )
+        if n_views == 0:
+            return None
+        opt = render_options_from(cfg, no_surface=self.grid.surface_data is None)
+        psnrs = []
+        for i in np.linspace(0, dset.n_images - 1, n_views).astype(int):
+            cam = Camera.make(
+                dset.c2w[i],
+                fx=dset.intrins_full.fx, fy=dset.intrins_full.fy,
+                cx=dset.intrins_full.cx, cy=dset.intrins_full.cy,
+                width=dset.w_full, height=dset.h_full,
+            )
+            img = render_image(self.grid, cam, opt)
+            gt = dset.gt[i]
+            mse = float(np.mean((img - gt) ** 2))
+            psnrs.append(-10.0 * math.log10(max(mse, 1e-12)))
+        mean_psnr = float(np.mean(psnrs))
+        self.log(f"eval stats: step={self.gstep} psnr={mean_psnr:.3f}")
+        return mean_psnr
+
+    def save(self):
+        ckpt_path = path.join(self.cfg.train_dir, "ckpt.npz")
+        save_grid(self.grid, ckpt_path, step_id=self.gstep)
+        self.log(f"saved {ckpt_path}")
