@@ -72,12 +72,20 @@ class DatasetBase:
             np.arange(self.w, dtype=np.float32) + 0.5,
             indexing="ij",
         )
-        xx = (xx - self.intrins.cx) / self.intrins.fx
-        yy = (yy - self.intrins.cy) / self.intrins.fy
-        zz = np.ones_like(xx)
-        dirs = np.stack((xx, yy, zz), axis=-1)  # OpenCV
+        # intrinsics may be scalars or per-image arrays (DTU)
+        fx = np.atleast_1d(np.asarray(self.intrins.fx, np.float32))[:, None, None]
+        fy = np.atleast_1d(np.asarray(self.intrins.fy, np.float32))[:, None, None]
+        cx = np.atleast_1d(np.asarray(self.intrins.cx, np.float32))[:, None, None]
+        cy = np.atleast_1d(np.asarray(self.intrins.cy, np.float32))[:, None, None]
+        xx = (xx[None] - cx) / fx
+        yy = (yy[None] - cy) / fy
+        zz = np.ones_like(xx + yy)
+        dirs = np.stack(np.broadcast_arrays(xx, yy, zz), axis=-1)  # OpenCV
         dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
-        dirs = (self.c2w[:, None, :3, :3] @ dirs.reshape(1, -1, 3, 1))[..., 0]
+        dirs = dirs.reshape(dirs.shape[0], -1, 3)
+        if dirs.shape[0] == 1:
+            dirs = np.broadcast_to(dirs, (self.n_images,) + dirs.shape[1:])
+        dirs = (self.c2w[:, None, :3, :3] @ dirs[..., None])[..., 0]
 
         if factor != 1:
             import cv2

@@ -5,29 +5,31 @@ TPU-native re-design of the fused CUDA renderer ``trace_ray_surf_trav``
 Python spec ``_surface_render_gradcheck_lerp``
 (/root/reference/svox2/svox2.py:1596-2857).
 
-Algorithm per ray:
-  1. DDA-walk the sparse voxel grid (bounded ``lax.scan`` of ``max_voxels``
-     plane-crossing steps, masked past ray exit — replaces the CUDA warp
-     while-loop).
-  2. In each occupied voxel, the trilinear surface field along the ray is a
-     cubic in t; solve it analytically per level set (ops/cubic.py) with the
-     ray re-origined at the voxel entry for conditioning.
-  3. Take alpha-composited samples exactly at valid in-voxel roots (strictly
-     positive t, inside the unit cube, optional outward-normal test); where a
-     voxel has no valid intersection, take one Gaussian-reweighted "fake
-     sample" at the segment midpoint.
-  4. Composite with log-transmittance; optional truncated-vol-render
-     reweighting by running intersection index.
+Two execution strategies share one voxel-processing core (``_voxel_pass``):
 
-Gradients: ``jax.grad`` end-to-end. Each scan step is ``jax.checkpoint``-ed so
-the backward pass re-gathers and re-solves instead of storing per-step
-residuals — the exact analog of the CUDA backward's re-traversal
-(surf_trav.cu:1710-2914), expressed in 5 lines instead of 1200.
+  * ``volume_render_surface`` — bounded DDA ``lax.scan``: one step per
+    plane crossing, masked past ray exit. Exact reference semantics; used
+    as the oracle-comparable path and for tests.
 
-Sample caches (t, alpha, weight, fake-mask per sample slot) stream out of the
-scan for the auxiliary losses (l_dist, l_entropy, ...), replacing the
-kernel's fixed 64-sample ring buffer (surf_trav.cu:407-414) — the streaming
-cumsum formulation in losses/render_losses.py has no sample cap.
+  * ``volume_render_surface_compact`` — the production TPU path. Phase A
+    computes ALL axis-plane crossing t's in closed form (three arithmetic
+    sequences), sorts them, derives each segment's voxel, gathers a 1-byte
+    per-voxel occupancy (precomputed from links + corner alpha threshold +
+    level-set range — the exact analog of the kernel's skip conditions,
+    surf_trav.cu:216-239/273-277), and compacts the first K occupied
+    segments per ray. Phase B runs the heavy gather/cubic/composite scan
+    over only those K slots. Because skipped voxels provably contribute
+    nothing (trilinear values stay inside the corner hull), the result is
+    bit-equal to the dense walk while doing ~max_voxels/K times less heavy
+    work.
+
+Gradients: ``jax.grad`` end-to-end; each scan step is ``jax.checkpoint``-ed
+so the backward re-gathers instead of storing residuals — the analog of the
+CUDA backward's re-traversal (surf_trav.cu:1710-2914).
+
+Per-ray auxiliary losses stream out of the scan as O(1) accumulators
+(replacing the kernel's 64-sample ring buffer, surf_trav.cu:407-414); an
+optional bounded first-K cache serves the two-pass losses.
 """
 from __future__ import annotations
 
@@ -67,18 +69,14 @@ def surf_alpha_act(raw, activation_type: int):
 
 def trunc_vol_render_rw(intersect_ids, a, weight_min):
     """Truncated-vol-render cosine ramp (svox2.py:4740-4746;
-    render_util.cuh:2157-2190). ``intersect_ids`` may be float or int."""
+    render_util.cuh:2157-2190)."""
     x = jnp.clip(a - intersect_ids.astype(jnp.result_type(a, jnp.float32)), 0.0, 1.0)
     return jnp.clip(0.5 * (1.0 - jnp.cos(jnp.pi * x)), min=weight_min)
 
 
 def trilerp_field_grad(vals8, pos):
     """Gradient of the trilinear field w.r.t. position (compute_field_grad,
-    render_util.cuh:2191; svox2.py:2573-2578).
-
-    :param vals8: (..., 8), :param pos: (..., 3) in-cube fraction
-    :return: (..., 3)
-    """
+    render_util.cuh:2191; svox2.py:2573-2578)."""
     s000, s001, s010, s011, s100, s101, s110, s111 = [
         vals8[..., i] for i in range(8)
     ]
@@ -97,272 +95,13 @@ def trilerp_field_grad(vals8, pos):
     return jnp.stack([gx, gy, gz], axis=-1)
 
 
-def volume_render_surface(
-    grid: SparseGrid,
-    rays: Rays,
-    opt: RenderOptions,
-    max_voxels: int | None = None,
-    return_samples: bool = False,
-    cache_size: int | None = None,
-):
-    """Render rays against the surface grid.
+# ---------------------------------------------------------------------------
+# Shared per-voxel processing core
+# ---------------------------------------------------------------------------
 
-    :param return_samples: emit full per-sample caches (tests/debug only —
-        O(max_voxels) memory per ray)
-    :param cache_size: if set, keep a bounded per-ray cache of the first K
-        samples (t, alpha, weight, fake) for the two-pass losses
-        (l_conv_mode_samp / l_samp_dist) — the analog of the kernel's
-        ``l_dist_max_sample`` ring buffer (surf_trav.cu:407-414)
-    :return: dict with
-        'rgb' (B, 3), 'depth' (B,), 'log_transmit' (B,),
-        'ray_losses': per-ray streaming loss accumulators, each (B,):
-            'l_dist' / 'l_dist_a' (weights/alpha distortion, Σ_{i<j} terms),
-            'l_entropy' / 'l_entropy_a', and the l_sparsity pieces
-            'sp_logsig', 'sp_logsig_w', 'sp_w' (combined by
-            losses.render_losses.l_sparsity_from_ray_losses)
-        'cache': bounded sample cache dict (if cache_size), each (B, K)
-        'samples': full caches (if return_samples), each (B, S)
-    """
-    assert grid.surface_data is not None, "surface grid required"
-    if max_voxels is None:
-        max_voxels = max_voxels_for(grid)
-    n_lv = grid.level_set_data.shape[0]
-
-    origins, dirs, viewdirs, _ = dda.preprocess_rays(grid, rays.origins, rays.dirs)
-    tnear, tmax = dda.ray_bounds(grid, origins, dirs)
-    sh_mult = eval_sh_bases(grid.basis_dim, viewdirs)  # (B, bd)
-
-    B = origins.shape[0]
-    dtype = origins.dtype
-    reso = grid.reso
-    near_grid_t = opt.near_clip * jnp.mean(grid.scaling * grid.gsz)
-
-    ray_ok = jnp.isfinite(tnear) & jnp.isfinite(tmax) & (tnear <= tmax)
-    t0 = jnp.where(ray_ok, tnear, 0.0)
-
-    use_udf_act = grid.surface_type in _UDF_TYPES
-    fs_std = (
-        grid.fake_sample_std[0, 0]
-        if grid.fake_sample_std is not None
-        else jnp.asarray(1.0, dtype)
-    )
-
-    @functools.partial(jax.checkpoint, prevent_cse=False)
-    def step(carry, _):
-        t = carry["t"]
-        log_T = carry["log_T"]
-        rgb_acc = carry["rgb"]
-        depth_acc = carry["depth"]
-        real_cnt = carry["cnt"]
-        alive = carry["alive"]
-        acc = carry["acc"]
-
-        next_t = dda.next_crossing(origins, dirs, t)
-        has_next = jnp.isfinite(next_t)
-        seg_ok = alive & has_next & (t < tmax - 1e-9)
-        next_t_safe = jnp.where(has_next, next_t, t + 1.0)
-
-        l, in_bounds = dda.voxel_between(
-            origins, dirs, jnp.where(seg_ok, t, 0.0),
-            jnp.where(seg_ok, next_t_safe, 1.0), reso,
-        )
-        links8 = gather_corner_links(grid.links, l)
-        all_present = jnp.all(links8 >= 0, axis=-1)
-        vox_ok = seg_ok & in_bounds & all_present
-
-        alpha8 = fetch_links(grid.density_data, links8)[..., 0]  # (B, 8)
-        # corner raw-alpha prefilter (surf_trav.cu:230-239)
-        vox_ok = vox_ok & jnp.any(alpha8 >= opt.sigma_thresh, axis=-1)
-
-        surf8 = fetch_links(grid.surface_data, links8)[..., 0]  # (B, 8)
-        if use_udf_act:
-            surf8 = jax.nn.softplus(surf8)
-        sh8 = fetch_links(grid.sh_data, links8)  # (B, 8, 3*bd)
-
-        close_t, far_t = dda.voxel_plane_ts(origins, dirs, l)
-        u = origins + close_t[..., None] * dirs - l.astype(dtype)
-        f0, f1, f2, f3 = cubic_coeffs(surf8, u, dirs)
-        smin = jnp.min(surf8, axis=-1)
-        smax = jnp.max(surf8, axis=-1)
-
-        def sample_at(frac):
-            """alpha-raw, rgb at in-voxel fraction ``frac`` (B, 3)."""
-            w8 = trilerp_weights(frac)  # (B, 8)
-            raw_a = jnp.sum(w8 * alpha8, axis=-1)
-            shv = jnp.einsum("bk,bkc->bc", w8, sh8).reshape(B, 3, grid.basis_dim)
-            rgb = jnp.clip(
-                jnp.sum(sh_mult[:, None, :] * shv, axis=-1) + 0.5, min=0.0
-            )
-            return raw_a, rgb
-
-        # ---- real intersections: static loop over level sets x 3 roots ----
-        vox_has_sample = jnp.zeros(B, dtype=bool)
-        vox_has_surf = jnp.zeros(B, dtype=bool)
-        slot_data = []  # (t_global, rwalpha, contrib) per slot, in order
-
-        cnt = real_cnt
-        for i in range(n_lv):
-            lv = grid.level_set_data[i]
-            lv_ok = vox_ok & (lv >= smin) & (lv <= smax)
-            vox_has_surf = vox_has_surf | lv_ok
-            roots = cubic_roots(f0 - lv, f1, f2, f3)  # (B, 3)
-            for j in range(3):
-                st = roots[:, j]
-                pos = origins + (close_t + st)[..., None] * dirs
-                frac = pos - l.astype(dtype)
-                in_cube = jnp.all(frac >= 0, axis=-1) & jnp.all(frac <= 1, axis=-1)
-                geo_ok = lv_ok & (st > 0) & in_cube & (
-                    (close_t + st) >= near_grid_t
-                )
-                # vox_has_sample set before outward test (surf_trav.cu:348)
-                vox_has_sample = vox_has_sample | geo_ok
-                if opt.only_outward_intersect:
-                    sgrad = trilerp_field_grad(surf8, frac)
-                    # keep only normal-facing-camera hits (surf_trav.cu:350-367)
-                    geo_ok = geo_ok & (
-                        jnp.sum(sgrad * dirs, axis=-1) > 0
-                    )
-                frac_safe = jnp.clip(jnp.where(geo_ok[..., None], frac, 0.5), 0.0, 1.0)
-                raw_a, rgb = sample_at(frac_safe)
-                cnt = cnt + geo_ok.astype(jnp.int32)  # ++intersect_i
-                contrib = geo_ok & (raw_a > opt.sigma_thresh)
-                alpha = surf_alpha_act(raw_a, opt.alpha_activation_type)
-                if opt.truncated_vol_render:
-                    rw = trunc_vol_render_rw(
-                        cnt - 1, grid.truncated_vol_render_a,
-                        opt.trunc_vol_weight_min,
-                    )
-                    alpha = alpha * rw
-                slot_data.append((close_t + st, alpha, rgb, contrib, False))
-
-        # ---- fake sample (surf_trav.cu:423-541) ----
-        if opt.surf_fake_sample:
-            take = vox_ok & ~vox_has_sample & (
-                (far_t - close_t) > opt.surf_fake_sample_min_vox_len
-            )
-            if opt.limited_fake_sample:
-                take = take & vox_has_surf
-            tf = 0.5 * (close_t + far_t)
-            frac = origins + tf[..., None] * dirs - l.astype(dtype)
-            frac_safe = jnp.clip(jnp.where(take[..., None], frac, 0.5), 0.0, 1.0)
-            raw_a, rgb = sample_at(frac_safe)
-            take = take & (raw_a > opt.sigma_thresh)
-            alpha = surf_alpha_act(raw_a, opt.alpha_activation_type)
-
-            mu = jnp.mean(surf8, axis=-1)
-            var = jnp.mean((surf8 - mu[..., None]) ** 2, axis=-1)
-            std = jnp.sqrt(jnp.clip(var, min=1e-9))
-            if not opt.fake_sample_normalize_surf:
-                std = jnp.ones_like(std)
-            w8 = trilerp_weights(frac_safe)
-            s_norm = jnp.sum(w8 * (surf8 / std[..., None]), axis=-1)
-            # signed distance to nearest level set; the kernel compares the
-            # std-normalized field against raw level-set values
-            # (surf_trav.cu:486-490) — reproduced exactly
-            dists = s_norm[..., None] - grid.level_set_data[None, :]
-            amin = jnp.argmin(jnp.abs(dists), axis=-1)
-            fake_dist = jnp.take_along_axis(dists, amin[..., None], axis=-1)[..., 0]
-            alpha = alpha * jnp.exp(-0.5 * (fake_dist / fs_std) ** 2)
-            if opt.truncated_vol_render:
-                rw = trunc_vol_render_rw(
-                    cnt - 1, grid.truncated_vol_render_a, opt.trunc_vol_weight_min
-                )
-                alpha = alpha * rw
-            slot_data.append((tf, alpha, rgb, take, True))
-
-        # ---- sequential composite over slots + streaming loss updates ----
-        ts_slots, a_slots, w_slots, fake_slots, valid_slots = [], [], [], [], []
-        for t_s, alpha, rgb, contrib, is_fake in slot_data:
-            alpha = jnp.where(contrib, alpha, 0.0)
-            # pcnt = -log(1 - alpha) with the oracle's clamp (svox2.py:2423)
-            one_m = jnp.clip(1.0 - alpha, 1e-7, 1.0 - 1e-7)
-            log_att = jnp.where(contrib, jnp.log(one_m), 0.0)
-            weight = jnp.where(contrib, jnp.exp(log_T) * (1.0 - one_m), 0.0)
-            rgb_acc = rgb_acc + weight[..., None] * rgb
-            depth_acc = depth_acc + weight * t_s
-            log_T = log_T + log_att
-
-            # streaming per-ray losses (exact, no sample cap — replaces the
-            # kernel's 64-sample cache, surf_trav.cu:2143-2300)
-            inc = contrib & (opt.fake_sample_l_dist or not is_fake)
-            a_i = jnp.where(inc, alpha, 0.0)
-            w_i = jnp.where(inc, weight, 0.0)
-            # distortion: sum_{i<j} x_i x_j (t_j - t_i), streamed via
-            # exclusive running sums (ascending-t order is guaranteed)
-            acc["l_dist_a"] = acc["l_dist_a"] + a_i * (t_s * acc["A_a"] - acc["S_a"])
-            acc["A_a"] = acc["A_a"] + a_i
-            acc["S_a"] = acc["S_a"] + a_i * t_s
-            acc["l_dist"] = acc["l_dist"] + w_i * (t_s * acc["A_w"] - acc["S_w"])
-            acc["A_w"] = acc["A_w"] + w_i
-            acc["S_w"] = acc["S_w"] + w_i * t_s
-            # entropy: -x log x
-            acc["l_entropy"] = acc["l_entropy"] + jnp.where(
-                w_i > 0, -w_i * jnp.log(jnp.clip(w_i, min=1e-8)), 0.0
-            )
-            acc["l_entropy_a"] = acc["l_entropy_a"] + jnp.where(
-                a_i > 0, -a_i * jnp.log(jnp.clip(a_i, min=1e-8)), 0.0
-            )
-            # sparsity pieces: sigma = -log(1-a); loss needs
-            # sum_j log(sigma_j) * (1 - w_j / sum(w)) with detached weights
-            logsig = jnp.where(
-                contrib,
-                jnp.log(jnp.clip(-jnp.log(jnp.clip(1.0 - alpha, min=1e-8)), min=1e-8)),
-                0.0,
-            )
-            w_sg = jax.lax.stop_gradient(jnp.where(contrib, weight, 0.0))
-            acc["sp_logsig"] = acc["sp_logsig"] + logsig
-            acc["sp_logsig_w"] = acc["sp_logsig_w"] + logsig * w_sg
-            acc["sp_w"] = acc["sp_w"] + w_sg
-
-            if cache_size is not None:
-                K = cache_size
-                slot_idx = jnp.clip(acc["n_cached"], 0, K - 1)
-                write = contrib & (acc["n_cached"] < K)
-                onehot = (
-                    jax.lax.broadcasted_iota(jnp.int32, (B, K), 1)
-                    == slot_idx[:, None]
-                ) & write[:, None]
-                ohf = onehot.astype(dtype)
-                acc["c_ts"] = acc["c_ts"] + ohf * t_s[:, None]
-                acc["c_alphas"] = acc["c_alphas"] + ohf * alpha[:, None]
-                acc["c_weights"] = acc["c_weights"] + ohf * weight[:, None]
-                acc["c_fake"] = acc["c_fake"] | (onehot & is_fake)
-                acc["n_cached"] = acc["n_cached"] + write.astype(jnp.int32)
-
-            if return_samples:
-                ts_slots.append(jnp.where(contrib, t_s, 0.0))
-                a_slots.append(alpha)
-                w_slots.append(weight)
-                fake_slots.append(jnp.full(B, is_fake) & contrib)
-                valid_slots.append(contrib)
-
-        if opt.stop_thresh > 0:
-            alive = alive & (log_T > math.log(opt.stop_thresh))
-        alive = alive & (next_t_safe < tmax + 1e-6) & has_next
-
-        new_carry = {
-            "t": jnp.where(seg_ok, next_t_safe, t),
-            "log_T": log_T,
-            "rgb": rgb_acc,
-            "depth": depth_acc,
-            "cnt": cnt,
-            "alive": alive,
-            "acc": acc,
-        }
-        if return_samples:
-            ys = (
-                jnp.stack(ts_slots, axis=-1),
-                jnp.stack(a_slots, axis=-1),
-                jnp.stack(w_slots, axis=-1),
-                jnp.stack(fake_slots, axis=-1),
-                jnp.stack(valid_slots, axis=-1),
-            )
-        else:
-            ys = None
-        return new_carry, ys
-
+def _init_state(B, dtype, cache_size, ray_ok):
     zb = jnp.zeros(B, dtype)
-    acc0 = {
+    acc = {
         k: zb
         for k in (
             "l_dist", "l_dist_a", "A_a", "S_a", "A_w", "S_w",
@@ -370,34 +109,236 @@ def volume_render_surface(
         )
     }
     if cache_size is not None:
-        acc0["c_ts"] = jnp.zeros((B, cache_size), dtype)
-        acc0["c_alphas"] = jnp.zeros((B, cache_size), dtype)
-        acc0["c_weights"] = jnp.zeros((B, cache_size), dtype)
-        acc0["c_fake"] = jnp.zeros((B, cache_size), bool)
-        acc0["n_cached"] = jnp.zeros(B, jnp.int32)
-    init = {
-        "t": t0,
+        acc["c_ts"] = jnp.zeros((B, cache_size), dtype)
+        acc["c_alphas"] = jnp.zeros((B, cache_size), dtype)
+        acc["c_weights"] = jnp.zeros((B, cache_size), dtype)
+        acc["c_fake"] = jnp.zeros((B, cache_size), bool)
+        acc["n_cached"] = jnp.zeros(B, jnp.int32)
+    return {
         "log_T": zb,
         "rgb": jnp.zeros((B, 3), dtype),
         "depth": zb,
         "cnt": jnp.zeros(B, jnp.int32),
         "alive": ray_ok,
-        "acc": acc0,
+        "acc": acc,
     }
-    final, ys = jax.lax.scan(step, init, None, length=max_voxels)
-    log_T = final["log_T"]
-    rgb_acc = final["rgb"]
-    depth_acc = final["depth"]
-    cnt = final["cnt"]
-    acc = final["acc"]
 
-    rgb_out = rgb_acc + jnp.exp(log_T)[..., None] * opt.background_brightness
 
+def _voxel_pass(
+    grid: SparseGrid,
+    opt: RenderOptions,
+    origins,
+    dirs,
+    sh_mult,
+    near_grid_t,
+    state: dict,
+    l,
+    close_t,
+    far_t,
+    vox_ok,
+    cache_size,
+    return_slots: bool,
+):
+    """Process one voxel for every ray: find intersections, composite,
+    update streaming losses. Returns (state, slot_ys or None)."""
+    B = origins.shape[0]
+    dtype = origins.dtype
+    n_lv = grid.level_set_data.shape[0]
+
+    log_T = state["log_T"]
+    rgb_acc = state["rgb"]
+    depth_acc = state["depth"]
+    acc = state["acc"]
+
+    links8 = gather_corner_links(grid.links, l)
+    all_present = jnp.all(links8 >= 0, axis=-1)
+    vox_ok = vox_ok & all_present & state["alive"]
+
+    alpha8 = fetch_links(grid.density_data, links8)[..., 0]  # (B, 8)
+    # corner raw-alpha prefilter (surf_trav.cu:230-239)
+    vox_ok = vox_ok & jnp.any(alpha8 >= opt.sigma_thresh, axis=-1)
+
+    surf8 = fetch_links(grid.surface_data, links8)[..., 0]  # (B, 8)
+    if grid.surface_type in _UDF_TYPES:
+        surf8 = jax.nn.softplus(surf8)
+    sh8 = fetch_links(grid.sh_data, links8)  # (B, 8, 3*bd)
+
+    u = origins + close_t[..., None] * dirs - l.astype(dtype)
+    f0, f1, f2, f3 = cubic_coeffs(surf8, u, dirs)
+    smin = jnp.min(surf8, axis=-1)
+    smax = jnp.max(surf8, axis=-1)
+
+    fs_std = (
+        grid.fake_sample_std[0, 0]
+        if grid.fake_sample_std is not None
+        else jnp.asarray(1.0, dtype)
+    )
+
+    def sample_at(frac):
+        w8 = trilerp_weights(frac)  # (B, 8)
+        raw_a = jnp.sum(w8 * alpha8, axis=-1)
+        shv = jnp.einsum("bk,bkc->bc", w8, sh8).reshape(B, 3, grid.basis_dim)
+        rgb = jnp.clip(jnp.sum(sh_mult[:, None, :] * shv, axis=-1) + 0.5, min=0.0)
+        return raw_a, rgb
+
+    # ---- real intersections: static loop over level sets x 3 roots ----
+    vox_has_sample = jnp.zeros(B, dtype=bool)
+    vox_has_surf = jnp.zeros(B, dtype=bool)
+    slot_data = []
+    cnt = state["cnt"]
+    for i in range(n_lv):
+        lv = grid.level_set_data[i]
+        lv_ok = vox_ok & (lv >= smin) & (lv <= smax)
+        vox_has_surf = vox_has_surf | lv_ok
+        roots = cubic_roots(f0 - lv, f1, f2, f3)  # (B, 3)
+        for j in range(3):
+            st = roots[:, j]
+            pos = origins + (close_t + st)[..., None] * dirs
+            frac = pos - l.astype(dtype)
+            in_cube = jnp.all(frac >= 0, axis=-1) & jnp.all(frac <= 1, axis=-1)
+            geo_ok = lv_ok & (st > 0) & in_cube & ((close_t + st) >= near_grid_t)
+            # vox_has_sample set before outward test (surf_trav.cu:348)
+            vox_has_sample = vox_has_sample | geo_ok
+            if opt.only_outward_intersect:
+                sgrad = trilerp_field_grad(surf8, frac)
+                geo_ok = geo_ok & (jnp.sum(sgrad * dirs, axis=-1) > 0)
+            frac_safe = jnp.clip(jnp.where(geo_ok[..., None], frac, 0.5), 0.0, 1.0)
+            raw_a, rgb = sample_at(frac_safe)
+            cnt = cnt + geo_ok.astype(jnp.int32)  # ++intersect_i
+            contrib = geo_ok & (raw_a > opt.sigma_thresh)
+            alpha = surf_alpha_act(raw_a, opt.alpha_activation_type)
+            if opt.truncated_vol_render:
+                rw = trunc_vol_render_rw(
+                    cnt - 1, grid.truncated_vol_render_a, opt.trunc_vol_weight_min
+                )
+                alpha = alpha * rw
+            slot_data.append((close_t + st, alpha, rgb, contrib, False))
+
+    # ---- fake sample (surf_trav.cu:423-541) ----
+    if opt.surf_fake_sample:
+        take = vox_ok & ~vox_has_sample & (
+            (far_t - close_t) > opt.surf_fake_sample_min_vox_len
+        )
+        if opt.limited_fake_sample:
+            take = take & vox_has_surf
+        tf = 0.5 * (close_t + far_t)
+        frac = origins + tf[..., None] * dirs - l.astype(dtype)
+        frac_safe = jnp.clip(jnp.where(take[..., None], frac, 0.5), 0.0, 1.0)
+        raw_a, rgb = sample_at(frac_safe)
+        take = take & (raw_a > opt.sigma_thresh)
+        alpha = surf_alpha_act(raw_a, opt.alpha_activation_type)
+
+        mu = jnp.mean(surf8, axis=-1)
+        var = jnp.mean((surf8 - mu[..., None]) ** 2, axis=-1)
+        std = jnp.sqrt(jnp.clip(var, min=1e-9))
+        if not opt.fake_sample_normalize_surf:
+            std = jnp.ones_like(std)
+        w8 = trilerp_weights(frac_safe)
+        s_norm = jnp.sum(w8 * (surf8 / std[..., None]), axis=-1)
+        # signed distance to nearest level set (surf_trav.cu:486-490)
+        dists = s_norm[..., None] - grid.level_set_data[None, :]
+        amin = jnp.argmin(jnp.abs(dists), axis=-1)
+        fake_dist = jnp.take_along_axis(dists, amin[..., None], axis=-1)[..., 0]
+        alpha = alpha * jnp.exp(-0.5 * (fake_dist / fs_std) ** 2)
+        if opt.truncated_vol_render:
+            rw = trunc_vol_render_rw(
+                cnt - 1, grid.truncated_vol_render_a, opt.trunc_vol_weight_min
+            )
+            alpha = alpha * rw
+        slot_data.append((tf, alpha, rgb, take, True))
+
+    # ---- sequential composite over slots + streaming loss updates ----
+    ts_slots, a_slots, w_slots, fake_slots, valid_slots = [], [], [], [], []
+    for t_s, alpha, rgb, contrib, is_fake in slot_data:
+        alpha = jnp.where(contrib, alpha, 0.0)
+        # pcnt = -log(1 - alpha) with the oracle's clamp (svox2.py:2423)
+        one_m = jnp.clip(1.0 - alpha, 1e-7, 1.0 - 1e-7)
+        log_att = jnp.where(contrib, jnp.log(one_m), 0.0)
+        weight = jnp.where(contrib, jnp.exp(log_T) * (1.0 - one_m), 0.0)
+        rgb_acc = rgb_acc + weight[..., None] * rgb
+        depth_acc = depth_acc + weight * t_s
+        log_T = log_T + log_att
+
+        inc = contrib & (opt.fake_sample_l_dist or not is_fake)
+        a_i = jnp.where(inc, alpha, 0.0)
+        w_i = jnp.where(inc, weight, 0.0)
+        acc["l_dist_a"] = acc["l_dist_a"] + a_i * (t_s * acc["A_a"] - acc["S_a"])
+        acc["A_a"] = acc["A_a"] + a_i
+        acc["S_a"] = acc["S_a"] + a_i * t_s
+        acc["l_dist"] = acc["l_dist"] + w_i * (t_s * acc["A_w"] - acc["S_w"])
+        acc["A_w"] = acc["A_w"] + w_i
+        acc["S_w"] = acc["S_w"] + w_i * t_s
+        acc["l_entropy"] = acc["l_entropy"] + jnp.where(
+            w_i > 0, -w_i * jnp.log(jnp.clip(w_i, min=1e-8)), 0.0
+        )
+        acc["l_entropy_a"] = acc["l_entropy_a"] + jnp.where(
+            a_i > 0, -a_i * jnp.log(jnp.clip(a_i, min=1e-8)), 0.0
+        )
+        logsig = jnp.where(
+            contrib,
+            jnp.log(jnp.clip(-jnp.log(jnp.clip(1.0 - alpha, min=1e-8)), min=1e-8)),
+            0.0,
+        )
+        w_sg = jax.lax.stop_gradient(jnp.where(contrib, weight, 0.0))
+        acc["sp_logsig"] = acc["sp_logsig"] + logsig
+        acc["sp_logsig_w"] = acc["sp_logsig_w"] + logsig * w_sg
+        acc["sp_w"] = acc["sp_w"] + w_sg
+
+        if cache_size is not None:
+            K = cache_size
+            slot_idx = jnp.clip(acc["n_cached"], 0, K - 1)
+            write = contrib & (acc["n_cached"] < K)
+            onehot = (
+                jax.lax.broadcasted_iota(jnp.int32, (B, K), 1) == slot_idx[:, None]
+            ) & write[:, None]
+            ohf = onehot.astype(dtype)
+            acc["c_ts"] = acc["c_ts"] + ohf * t_s[:, None]
+            acc["c_alphas"] = acc["c_alphas"] + ohf * alpha[:, None]
+            acc["c_weights"] = acc["c_weights"] + ohf * weight[:, None]
+            acc["c_fake"] = acc["c_fake"] | (onehot & is_fake)
+            acc["n_cached"] = acc["n_cached"] + write.astype(jnp.int32)
+
+        if return_slots:
+            ts_slots.append(jnp.where(contrib, t_s, 0.0))
+            a_slots.append(alpha)
+            w_slots.append(weight)
+            fake_slots.append(jnp.full(B, is_fake) & contrib)
+            valid_slots.append(contrib)
+
+    alive = state["alive"]
+    if opt.stop_thresh > 0:
+        alive = alive & (log_T > math.log(opt.stop_thresh))
+
+    new_state = {
+        "log_T": log_T,
+        "rgb": rgb_acc,
+        "depth": depth_acc,
+        "cnt": cnt,
+        "alive": alive,
+        "acc": acc,
+    }
+    ys = None
+    if return_slots:
+        ys = (
+            jnp.stack(ts_slots, axis=-1),
+            jnp.stack(a_slots, axis=-1),
+            jnp.stack(w_slots, axis=-1),
+            jnp.stack(fake_slots, axis=-1),
+            jnp.stack(valid_slots, axis=-1),
+        )
+    return new_state, ys
+
+
+def _finalize(grid, opt, state, cache_size, samples_ys=None):
+    B = state["rgb"].shape[0]
+    log_T = state["log_T"]
+    acc = state["acc"]
+    rgb_out = state["rgb"] + jnp.exp(log_T)[..., None] * opt.background_brightness
     out = {
         "rgb": rgb_out,
-        "depth": depth_acc,
+        "depth": state["depth"],
         "log_transmit": log_T,
-        "n_intersections": cnt,
+        "n_intersections": state["cnt"],
         "ray_losses": {
             k: acc[k]
             for k in (
@@ -414,16 +355,233 @@ def volume_render_surface(
             "fake_mask": acc["c_fake"],
             "n_cached": acc["n_cached"],
         }
-    if return_samples:
-        # ys: each (max_voxels, B, slots) -> (B, max_voxels * slots)
+    if samples_ys is not None:
         def flat(y):
             return jnp.moveaxis(y, 0, 1).reshape(B, -1)
 
         out["samples"] = {
-            "ts": flat(ys[0]),
-            "alphas": flat(ys[1]),
-            "weights": flat(ys[2]),
-            "fake_mask": flat(ys[3]),
-            "valid": flat(ys[4]),
+            "ts": flat(samples_ys[0]),
+            "alphas": flat(samples_ys[1]),
+            "weights": flat(samples_ys[2]),
+            "fake_mask": flat(samples_ys[3]),
+            "valid": flat(samples_ys[4]),
         }
+    return out
+
+
+def _prep(grid, rays, opt):
+    origins, dirs, viewdirs, _ = dda.preprocess_rays(grid, rays.origins, rays.dirs)
+    tnear, tmax = dda.ray_bounds(grid, origins, dirs)
+    sh_mult = eval_sh_bases(grid.basis_dim, viewdirs)
+    near_grid_t = opt.near_clip * jnp.mean(grid.scaling * grid.gsz)
+    ray_ok = jnp.isfinite(tnear) & jnp.isfinite(tmax) & (tnear <= tmax)
+    return origins, dirs, sh_mult, tnear, tmax, near_grid_t, ray_ok
+
+
+# ---------------------------------------------------------------------------
+# Strategy 1: bounded DDA scan (oracle-exact walk)
+# ---------------------------------------------------------------------------
+
+def volume_render_surface(
+    grid: SparseGrid,
+    rays: Rays,
+    opt: RenderOptions,
+    max_voxels: int | None = None,
+    return_samples: bool = False,
+    cache_size: int | None = None,
+):
+    """Render rays with the dense DDA walk. See module docstring.
+
+    :return: dict with 'rgb' (B,3), 'depth', 'log_transmit',
+        'ray_losses' (streaming accumulators), optional 'cache' (bounded
+        first-K sample cache), optional 'samples' (full caches, tests only).
+    """
+    assert grid.surface_data is not None, "surface grid required"
+    if max_voxels is None:
+        max_voxels = max_voxels_for(grid)
+
+    origins, dirs, sh_mult, tnear, tmax, near_grid_t, ray_ok = _prep(grid, rays, opt)
+    B = origins.shape[0]
+    dtype = origins.dtype
+    t0 = jnp.where(ray_ok, tnear, 0.0)
+
+    @functools.partial(jax.checkpoint, prevent_cse=False)
+    def step(carry, _):
+        t, state = carry
+        next_t = dda.next_crossing(origins, dirs, t)
+        has_next = jnp.isfinite(next_t)
+        seg_ok = state["alive"] & has_next & (t < tmax - 1e-9)
+        next_t_safe = jnp.where(has_next, next_t, t + 1.0)
+        l, in_bounds = dda.voxel_between(
+            origins, dirs, jnp.where(seg_ok, t, 0.0),
+            jnp.where(seg_ok, next_t_safe, 1.0), grid.reso,
+        )
+        close_t, far_t = dda.voxel_plane_ts(origins, dirs, l)
+        state, ys = _voxel_pass(
+            grid, opt, origins, dirs, sh_mult, near_grid_t, state,
+            l, close_t, far_t, seg_ok & in_bounds, cache_size, return_samples,
+        )
+        state["alive"] = state["alive"] & (next_t_safe < tmax + 1e-6) & has_next
+        t_new = jnp.where(seg_ok, next_t_safe, t)
+        return (t_new, state), ys
+
+    init = (t0, _init_state(B, dtype, cache_size, ray_ok))
+    (_, state), ys = jax.lax.scan(step, init, None, length=max_voxels)
+    return _finalize(grid, opt, state, cache_size, ys if return_samples else None)
+
+
+# ---------------------------------------------------------------------------
+# Strategy 2: occupancy-compacted traversal (production path)
+# ---------------------------------------------------------------------------
+
+def voxel_occupancy(grid: SparseGrid, opt: RenderOptions) -> jnp.ndarray:
+    """Per-voxel bool (X-1, Y-1, Z-1): can this voxel contribute anything?
+
+    Exact analog of the kernel's skip conditions: all 8 corner links present
+    (surf_trav.cu:216-221), some corner raw alpha >= sigma_thresh (:230-239),
+    and — unless unrestricted fake samples are on — some level set within
+    the corner min/max hull (:273-277; trilinear values can't leave the
+    hull, so voxels failing this provably produce no samples).
+    """
+    links = grid.links
+    # dense vertex fields
+    present = links >= 0
+    safe = jnp.clip(links, 0, grid.capacity - 1)
+    dens = jnp.where(present, grid.density_data[safe, 0], -jnp.inf)
+    surf = jnp.where(present, grid.surface_data[safe, 0], 0.0)
+    if grid.surface_type in _UDF_TYPES:
+        surf = jax.nn.softplus(surf)
+
+    def corners(v, reduce_fn, init):
+        out = None
+        for dx in (0, 1):
+            for dy in (0, 1):
+                for dz in (0, 1):
+                    s = v[dx : v.shape[0] - 1 + dx,
+                          dy : v.shape[1] - 1 + dy,
+                          dz : v.shape[2] - 1 + dz]
+                    out = s if out is None else reduce_fn(out, s)
+        return out
+
+    all_present = corners(present, jnp.logical_and, None)
+    any_alpha = corners(dens, jnp.maximum, None) >= opt.sigma_thresh
+    occ = all_present & any_alpha
+    if not (opt.surf_fake_sample and not opt.limited_fake_sample):
+        smin = corners(surf, jnp.minimum, None)
+        smax = corners(surf, jnp.maximum, None)
+        lv = grid.level_set_data
+        has_surf = jnp.zeros_like(occ)
+        for i in range(lv.shape[0]):
+            has_surf = has_surf | ((lv[i] >= smin) & (lv[i] <= smax))
+        occ = occ & has_surf
+    return occ
+
+
+def compact_crossings(grid, origins, dirs, tnear, tmax, occ, K: int):
+    """Phase A: sorted plane crossings -> first K occupied segments.
+
+    :return: l (B,K,3), close_t (B,K), far_t (B,K), valid (B,K),
+        n_occupied (B,) (for overflow monitoring)
+    """
+    B = origins.shape[0]
+    dtype = origins.dtype
+    reso = grid.reso
+    INF = jnp.asarray(jnp.inf, dtype)
+
+    ts_parts = []
+    for a in range(3):
+        planes = jnp.arange(1, reso[a] - 1, dtype=dtype)  # interior planes
+        da = dirs[:, a : a + 1]
+        safe = jnp.where(da == 0, 1e-12, da)
+        t = (planes[None, :] - origins[:, a : a + 1]) / safe
+        t = jnp.where(
+            (da != 0) & (t > tnear[:, None] + 1e-9) & (t < tmax[:, None] - 1e-9),
+            t, INF,
+        )
+        ts_parts.append(t)
+    ts = jnp.concatenate(
+        [tnear[:, None]] + ts_parts, axis=1
+    )  # (B, S+1) segment starts
+    ts = jnp.sort(ts, axis=1)
+    seg_start = ts
+    seg_end = jnp.concatenate(
+        [ts[:, 1:], jnp.where(jnp.isfinite(ts[:, -1:]), tmax[:, None], INF)],
+        axis=1,
+    )
+    seg_end = jnp.minimum(seg_end, tmax[:, None])
+    seg_valid = (
+        jnp.isfinite(seg_start) & jnp.isfinite(seg_end)
+        & (seg_end > seg_start + 1e-9)
+    )
+
+    tmid = 0.5 * (seg_start + jnp.where(seg_valid, seg_end, seg_start))
+    pos = origins[:, None, :] + tmid[..., None] * dirs[:, None, :]
+    l = jnp.floor(pos).astype(jnp.int32)
+    in_bounds = jnp.all(l >= 0, axis=-1) & jnp.all(
+        l <= jnp.asarray(reso, jnp.int32) - 2, axis=-1
+    )
+    lx = jnp.clip(l[..., 0], 0, reso[0] - 2)
+    ly = jnp.clip(l[..., 1], 0, reso[1] - 2)
+    lz = jnp.clip(l[..., 2], 0, reso[2] - 2)
+    flat = (lx * (reso[1] - 1) + ly) * (reso[2] - 1) + lz
+    occ_seg = jnp.take(occ.reshape(-1), flat) & seg_valid & in_bounds
+
+    n_occupied = jnp.sum(occ_seg, axis=1)
+    # stable compaction: indices of occupied segments first, in t-order
+    order = jnp.argsort(~occ_seg, axis=1, stable=True)[:, :K]
+    take = jnp.take_along_axis
+    valid = take(occ_seg, order, axis=1)
+    close_t = take(seg_start, order, axis=1)
+    far_t = take(seg_end, order, axis=1)
+    l_k = jnp.stack(
+        [take(lx, order, axis=1), take(ly, order, axis=1), take(lz, order, axis=1)],
+        axis=-1,
+    )
+    close_t = jnp.where(valid, close_t, 0.0)
+    far_t = jnp.where(valid, far_t, 0.0)
+    return l_k, close_t, far_t, valid, n_occupied
+
+
+def volume_render_surface_compact(
+    grid: SparseGrid,
+    rays: Rays,
+    opt: RenderOptions,
+    max_intersect_voxels: int = 64,
+    cache_size: int | None = None,
+    return_samples: bool = False,
+):
+    """Occupancy-compacted renderer (production path). Result matches
+    ``volume_render_surface`` exactly as long as no ray crosses more than
+    ``max_intersect_voxels`` occupied voxels; 'n_occupied' in the output
+    reports the true per-ray count for overflow monitoring."""
+    assert grid.surface_data is not None, "surface grid required"
+    origins, dirs, sh_mult, tnear, tmax, near_grid_t, ray_ok = _prep(grid, rays, opt)
+    B = origins.shape[0]
+    dtype = origins.dtype
+
+    occ = voxel_occupancy(grid, opt)
+    l_k, close_k, far_k, valid_k, n_occ = compact_crossings(
+        grid, origins, dirs, jnp.where(ray_ok, tnear, 0.0),
+        jnp.where(ray_ok, tmax, -1.0), occ, max_intersect_voxels,
+    )
+
+    @functools.partial(jax.checkpoint, prevent_cse=False)
+    def step(state, xs):
+        l, close_t, far_t, valid = xs
+        state, ys = _voxel_pass(
+            grid, opt, origins, dirs, sh_mult, near_grid_t, state,
+            l, close_t, far_t, valid & ray_ok, cache_size, return_samples,
+        )
+        return state, ys
+
+    init = _init_state(B, dtype, cache_size, ray_ok)
+    xs = (
+        jnp.moveaxis(l_k, 1, 0),
+        jnp.moveaxis(close_k, 1, 0),
+        jnp.moveaxis(far_k, 1, 0),
+        jnp.moveaxis(valid_k, 1, 0),
+    )
+    state, ys = jax.lax.scan(step, init, xs)
+    out = _finalize(grid, opt, state, cache_size, ys if return_samples else None)
+    out["n_occupied"] = n_occ
     return out

@@ -27,7 +27,7 @@ from ..losses import reg
 from ..losses import render_losses as rl
 from ..optim.rmsprop import RMSState, rmsprop_init, rmsprop_step
 from ..render.cuvol import volume_render_cuvol
-from ..render.surface import volume_render_surface
+from ..render.surface import volume_render_surface, volume_render_surface_compact
 
 
 class HParams(NamedTuple):
@@ -80,6 +80,8 @@ class StepConfig:
     surf_tv_alpha_weighted: bool = False
     rms_beta: float = 0.95
     use_two_pass_losses: bool = False  # enable cache-based conv/samp losses
+    compact: bool = True  # occupancy-compacted traversal (production path)
+    max_intersect_voxels: int = 64  # K for the compacted path
 
 
 def init_rms(grid: SparseGrid) -> dict:
@@ -107,10 +109,17 @@ def make_surface_step(cfg: StepConfig):
             g = grid.replace(density_data=density, sh_data=sh, surface_data=surface)
             if train_fss:
                 g = g.replace(fake_sample_std=fss)
-            out = volume_render_surface(
-                g, rays, cfg.opt, max_voxels=cfg.max_voxels,
-                cache_size=cfg.cache_size if cfg.use_two_pass_losses else None,
-            )
+            cache = cfg.cache_size if cfg.use_two_pass_losses else None
+            if cfg.compact:
+                out = volume_render_surface_compact(
+                    g, rays, cfg.opt,
+                    max_intersect_voxels=cfg.max_intersect_voxels,
+                    cache_size=cache,
+                )
+            else:
+                out = volume_render_surface(
+                    g, rays, cfg.opt, max_voxels=cfg.max_voxels, cache_size=cache
+                )
             resid = out["rgb"] - rgb_gt
             if rays.masks is not None:
                 resid = resid * rays.masks[:, None]

@@ -1,9 +1,12 @@
 """Benchmark: fused forward+backward surface-render throughput (rays/s/chip).
 
-Protocol per BASELINE.md: 800x800 rays against a sparse 512^3-recipe-style
-grid (here: sphere-shell sparsity like a converged αSurf scene), fused
-render + gradient step — the TPU analog of test/test_render_timing.py.
+Protocol per BASELINE.md: 800x800 rays against a sparse recipe-style grid
+(sphere-shell sparsity like a converged αSurf scene), fused render +
+gradient + RMSprop step — the TPU analog of test/test_render_timing.py.
 Prints ONE JSON line.
+
+All large arrays (grid data, rays) are constructed ON DEVICE: the axon
+relay's host->device path is far too slow for bulk uploads.
 """
 from __future__ import annotations
 
@@ -14,33 +17,91 @@ import time
 import numpy as np
 
 
-def build_bench_grid(reso=256, shell_frac_target=0.05):
-    """Sparse sphere-shell SDF grid approximating a converged scene."""
+def _keep_mask(reso: int) -> np.ndarray:
+    """Host-side occupancy mask for the shell grid (cheap, no transfers)."""
+    from scipy import ndimage
+
+    idx = np.arange(reso, dtype=np.float32)
+    X, Y, Z = np.meshgrid(idx, idx, idx, indexing="ij")
+    r = np.sqrt((X - reso / 2) ** 2 + (Y - reso / 2) ** 2 + (Z - reso / 2) ** 2)
+    sdf = (reso / 4.0 - r) / (reso / 4.0)
+    keep = np.abs(sdf) < 3.0 / (reso / 4.0)
+    return ndimage.binary_dilation(keep, np.ones((3, 3, 3), bool), iterations=2)
+
+
+def build_bench_grid(reso=256):
+    """Sparse sphere-shell SDF grid, constructed on device from the analytic
+    SDF (only the link topology metadata crosses the host boundary)."""
+    import jax
     import jax.numpy as jnp
 
     import alphasurf_tpu as at
-    from alphasurf_tpu.core.topology import _dilate, _rebuild
 
-    coords = np.stack(
-        np.meshgrid(*[np.arange(reso)] * 3, indexing="ij"), axis=-1
-    ).astype(np.float32)
-    center = reso / 2.0
-    r = np.linalg.norm(coords - center, axis=-1)
-    sdf = (reso / 4.0 - r) / (reso / 4.0)  # positive inside, ~unit gradient
-    keep = np.abs(sdf) < 3.0 / (reso / 4.0)  # shell around the level set
-    keep = _dilate(keep, 2)
+    keep = _keep_mask(reso)
+    capacity = int(keep.sum())
 
-    g = at.create_grid(reso, radius=1.0, basis_dim=9,
-                       surface_type=at.defs.SURFACE_TYPE_SDF)
-    dense = {
-        "density_data": np.full((reso, reso, reso, 1), 0.5, np.float32),
-        "sh_data": np.zeros((reso, reso, reso, 27), np.float32),
-        "surface_data": sdf[..., None].astype(np.float32),
-    }
-    g = _rebuild(g, keep, dense)
-    g = g.replace(fake_sample_std=jnp.array([[0.1]], jnp.float32))
-    occupancy = float(keep.mean())
-    return g, occupancy
+    @jax.jit
+    def build():
+        idx = jnp.arange(reso, dtype=jnp.float32)
+        X, Y, Z = jnp.meshgrid(idx, idx, idx, indexing="ij")
+        r = jnp.sqrt((X - reso / 2) ** 2 + (Y - reso / 2) ** 2 + (Z - reso / 2) ** 2)
+        sdf = (reso / 4.0 - r) / (reso / 4.0)
+        k = jnp.abs(sdf) < 3.0 / (reso / 4.0)
+        # 26-neighborhood dilation x2 via max-pool
+        kf = k.astype(jnp.float32)
+        for _ in range(2):
+            kf = jax.lax.reduce_window(
+                kf, -jnp.inf, jax.lax.max, (3, 3, 3), (1, 1, 1), "SAME"
+            )
+        k = kf > 0
+        flat = k.reshape(-1)
+        links = jnp.where(flat, jnp.cumsum(flat.astype(jnp.int32)) - 1, -1)
+        occ_idx = jnp.argsort(~flat, stable=True)[:capacity]
+        surface = sdf.reshape(-1)[occ_idx][:, None]
+        return links.reshape(reso, reso, reso).astype(jnp.int32), surface
+
+    links, surface = build()
+    g = at.SparseGrid(
+        links=links,
+        density_data=jnp.full((capacity, 1), 0.5, jnp.float32),
+        sh_data=jnp.zeros((capacity, 27), jnp.float32),
+        surface_data=surface,
+        level_set_data=jnp.array([0.0], jnp.float32),
+        fake_sample_std=jnp.array([[0.1]], jnp.float32),
+        truncated_vol_render_a=jnp.asarray(1.0, jnp.float32),
+        radius=jnp.ones(3, jnp.float32),
+        center=jnp.zeros(3, jnp.float32),
+        basis_dim=9,
+        surface_type=at.defs.SURFACE_TYPE_SDF,
+    )
+    return g, float(keep.mean())
+
+
+def device_rays(W, H, fx, dist=2.7):
+    """All-pixel orbit-camera rays generated on device (jnp gen_rays)."""
+    import jax
+    import jax.numpy as jnp
+
+    from alphasurf_tpu.data.synthetic import pose_spherical
+
+    c2w = jnp.asarray(pose_spherical(30.0, 20.0, dist))
+
+    @jax.jit
+    def gen():
+        yy, xx = jnp.meshgrid(
+            jnp.arange(H, dtype=jnp.float32) + 0.5,
+            jnp.arange(W, dtype=jnp.float32) + 0.5,
+            indexing="ij",
+        )
+        x = (xx - W * 0.5) / fx
+        y = (yy - H * 0.5) / fx
+        dirs = jnp.stack([x, y, jnp.ones_like(x)], -1)
+        dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
+        dirs = jnp.einsum("ij,hwj->hwi", c2w[:3, :3], dirs).reshape(-1, 3)
+        origins = jnp.broadcast_to(c2w[:3, 3], (H * W, 3))
+        return origins, dirs
+
+    return gen()
 
 
 def main():
@@ -48,46 +109,53 @@ def main():
     import jax.numpy as jnp
 
     import alphasurf_tpu as at
-    from alphasurf_tpu.data.synthetic import pose_spherical
     from alphasurf_tpu.train.steps import HParams, StepConfig, init_rms, make_surface_step
 
     reso = int(sys.argv[1]) if len(sys.argv) > 1 else 256
     W = H = 800
-    batch = 40000  # rays per step (recipe-scale batches, cycled over image)
+    batch = 40960
+    K = 32  # max occupied voxels per ray (shell is ~6-14 crossings)
 
+    t0 = time.time()
     grid, occ = build_bench_grid(reso)
-    cam = at.Camera.make(pose_spherical(30.0, 20.0, 2.7), fx=1.1 * W, width=W, height=H)
-    rays = cam.gen_rays()
-    n_rays = rays.origins.shape[0]
+    origins, dirs = device_rays(W, H, fx=1.1 * W)
+    jax.block_until_ready((grid.density_data, origins))
+    n_rays = origins.shape[0]
+    print(f"# setup {time.time()-t0:.1f}s reso={reso} occ={occ:.3f} "
+          f"capacity={grid.capacity}", file=sys.stderr)
 
     opt = at.RenderOptions(
         sigma_thresh=-1e9, stop_thresh=1e-7, only_outward_intersect=True,
         surf_fake_sample=True, limited_fake_sample=True,
         truncated_vol_render=True,
     )
-    cfg = StepConfig(opt=opt, cache_size=None)
+    cfg = StepConfig(opt=opt, cache_size=None, max_intersect_voxels=K)
     step = make_surface_step(cfg)
     rms = init_rms(grid)
     hp = HParams(
-        lr_alpha=1e-2, lr_surface=1e-4, lr_sh=1e-2,
+        lr_alpha=1e-3, lr_surface=1e-5, lr_sh=1e-3,
         lambda_tv_alpha=1e-5, lambda_tv_surface=1e-3,
         lambda_normal_l1=1e-6, lambda_l_entropy=1e-4,
     )
     key = jax.random.PRNGKey(0)
-    gt = jnp.full((batch, 3), 0.5, grid.density_data.dtype)
+    gt = jnp.full((batch, 3), 0.5, jnp.float32)
 
     def run_batch(grid, rms, i):
         s = (i * batch) % (n_rays - batch)
-        r = at.Rays(rays.origins[s : s + batch], rays.dirs[s : s + batch])
+        r = at.Rays(
+            jax.lax.dynamic_slice_in_dim(origins, s, batch),
+            jax.lax.dynamic_slice_in_dim(dirs, s, batch),
+        )
         return step(grid, rms, r, gt, hp, key)
 
-    # warmup / compile
-    grid_w, rms_w, stats = run_batch(grid, rms, 0)
-    jax.block_until_ready(stats["loss"])
-
-    n_iters = max(1, (n_rays // batch))
     t0 = time.time()
-    g, r = grid_w, rms_w
+    g, r, stats = run_batch(grid, rms, 0)
+    jax.block_until_ready(stats["loss"])
+    print(f"# compile+first step {time.time()-t0:.1f}s loss={float(stats['loss']):.4f}",
+          file=sys.stderr)
+
+    n_iters = max(4, n_rays // batch)
+    t0 = time.time()
     for i in range(n_iters):
         g, r, stats = run_batch(g, r, i)
     jax.block_until_ready(stats["loss"])

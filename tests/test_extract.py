@@ -1,0 +1,46 @@
+"""Geometry extraction: iso-points and mesh of an analytic sphere SDF."""
+import jax.numpy as jnp
+import numpy as np
+
+import alphasurf_tpu as at
+from alphasurf_tpu.geometry.chamfer import chamfer, downsample_points
+from alphasurf_tpu.geometry.extract import extract_iso_points, extract_mesh
+
+
+def _sphere_grid(reso=24):
+    g = at.create_grid(reso, radius=1.0, surface_type=at.defs.SURFACE_TYPE_SDF,
+                       surface_init="single_sphere", init_sigma=5.0)
+    # positive inside (reference convention)
+    return g.replace(surface_data=-g.surface_data)
+
+
+def test_iso_points_on_sphere():
+    g = _sphere_grid()
+    pts = extract_iso_points(g, n_sample=3, density_thresh=0.0)
+    assert len(pts) > 500
+    # sphere: grid radius reso/4 -> world radius 0.5
+    r = np.linalg.norm(pts, axis=-1)
+    assert abs(np.median(r) - 0.5) < 0.03
+    assert np.percentile(np.abs(r - 0.5), 95) < 0.06
+
+
+def test_mesh_on_sphere(tmp_path):
+    g = _sphere_grid()
+    V, F = extract_mesh(g, str(tmp_path / "m.obj"))
+    assert len(V) > 500 and len(F) > 100
+    r = np.linalg.norm(V, axis=-1)
+    assert abs(np.median(r) - 0.5) < 0.04
+    assert (tmp_path / "m.obj").exists()
+
+
+def test_chamfer_identity_and_offset():
+    rng = np.random.default_rng(0)
+    pts = rng.standard_normal((2000, 3)).astype(np.float32)
+    pts /= np.linalg.norm(pts, axis=-1, keepdims=True)
+    res = chamfer(pts, pts)
+    assert res["overall"] < 1e-9
+    res2 = chamfer(pts + np.array([0.1, 0, 0], np.float32), pts)
+    assert 0.03 < res2["overall"] < 0.12
+
+    ds = downsample_points(pts, 0.2)
+    assert 10 < len(ds) < len(pts)
