@@ -45,7 +45,9 @@ def trilerp(vals8: jnp.ndarray, pos: jnp.ndarray) -> jnp.ndarray:
     :return: (..., C)
     """
     w = trilerp_weights(pos)
-    return jnp.einsum("...k,...kc->...c", w, vals8)
+    # elementwise multiply-reduce (VPU) — einsum here lowers to per-point
+    # 8xC matmuls that pad catastrophically on the MXU
+    return jnp.sum(w[..., None] * vals8, axis=-2)
 
 
 def voxel_of(pos: jnp.ndarray, reso) -> tuple[jnp.ndarray, jnp.ndarray]:

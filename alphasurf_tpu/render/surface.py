@@ -118,10 +118,23 @@ def _init_state(B, dtype, cache_size, ray_ok):
         "log_T": zb,
         "rgb": jnp.zeros((B, 3), dtype),
         "depth": zb,
+        "normal": jnp.zeros((B, 3), dtype),
         "cnt": jnp.zeros(B, jnp.int32),
         "alive": ray_ok,
         "acc": acc,
     }
+
+
+def pack_grid_data(grid: SparseGrid) -> jnp.ndarray:
+    """Concatenate (density | surface | sh | pad) into one row-gatherable
+    array [cap, C8] (C8 = channels padded to a multiple of 8). One fused
+    row gather is ~3x faster than three separate gathers on TPU."""
+    parts = [grid.density_data, grid.surface_data, grid.sh_data]
+    c = 2 + grid.sh_data.shape[1]
+    pad = (-c) % 8
+    if pad:
+        parts.append(jnp.zeros((grid.capacity, pad), grid.density_data.dtype))
+    return jnp.concatenate(parts, axis=1)
 
 
 def _voxel_pass(
@@ -138,6 +151,7 @@ def _voxel_pass(
     vox_ok,
     cache_size,
     return_slots: bool,
+    packed=None,
 ):
     """Process one voxel for every ray: find intersections, composite,
     update streaming losses. Returns (state, slot_ys or None)."""
@@ -148,20 +162,26 @@ def _voxel_pass(
     log_T = state["log_T"]
     rgb_acc = state["rgb"]
     depth_acc = state["depth"]
+    normal_acc = state["normal"]
     acc = state["acc"]
 
     links8 = gather_corner_links(grid.links, l)
     all_present = jnp.all(links8 >= 0, axis=-1)
     vox_ok = vox_ok & all_present & state["alive"]
 
-    alpha8 = fetch_links(grid.density_data, links8)[..., 0]  # (B, 8)
+    if packed is None:
+        packed = pack_grid_data(grid)
+    safe = jnp.clip(links8, 0, packed.shape[0] - 1)
+    v8 = jnp.take(packed, safe, axis=0)  # (B, 8, C8)
+    v8 = v8 * (links8 >= 0)[..., None].astype(dtype)
+    alpha8 = v8[..., 0]  # (B, 8)
     # corner raw-alpha prefilter (surf_trav.cu:230-239)
     vox_ok = vox_ok & jnp.any(alpha8 >= opt.sigma_thresh, axis=-1)
 
-    surf8 = fetch_links(grid.surface_data, links8)[..., 0]  # (B, 8)
+    surf8 = v8[..., 1]  # (B, 8)
     if grid.surface_type in _UDF_TYPES:
         surf8 = jax.nn.softplus(surf8)
-    sh8 = fetch_links(grid.sh_data, links8)  # (B, 8, 3*bd)
+    sh8 = v8[..., 2 : 2 + 3 * grid.basis_dim]  # (B, 8, 3*bd)
 
     u = origins + close_t[..., None] * dirs - l.astype(dtype)
     f0, f1, f2, f3 = cubic_coeffs(surf8, u, dirs)
@@ -174,11 +194,19 @@ def _voxel_pass(
         else jnp.asarray(1.0, dtype)
     )
 
+    # Precontract SH coefficients with the per-ray basis once per voxel:
+    # rgb(frac) = clip(sum_k w8_k(frac) * c_k + 0.5) where
+    # c_k = sum_b sh8[k, ch*bd+b] * sh_mult[b]  — 8x3 per ray, reused by all
+    # sample slots. Elementwise multiply-reduce (VPU), never a tiny matmul.
+    sh_r = sh8.reshape(B, 8, 3, grid.basis_dim)
+    corner_rgb = jnp.sum(sh_r * sh_mult[:, None, None, :], axis=-1)  # (B,8,3)
+
     def sample_at(frac):
         w8 = trilerp_weights(frac)  # (B, 8)
         raw_a = jnp.sum(w8 * alpha8, axis=-1)
-        shv = jnp.einsum("bk,bkc->bc", w8, sh8).reshape(B, 3, grid.basis_dim)
-        rgb = jnp.clip(jnp.sum(sh_mult[:, None, :] * shv, axis=-1) + 0.5, min=0.0)
+        rgb = jnp.clip(
+            jnp.sum(w8[..., None] * corner_rgb, axis=1) + 0.5, min=0.0
+        )
         return raw_a, rgb
 
     # ---- real intersections: static loop over level sets x 3 roots ----
@@ -199,9 +227,13 @@ def _voxel_pass(
             geo_ok = lv_ok & (st > 0) & in_cube & ((close_t + st) >= near_grid_t)
             # vox_has_sample set before outward test (surf_trav.cu:348)
             vox_has_sample = vox_has_sample | geo_ok
+            frac_for_grad = jnp.clip(jnp.where(geo_ok[..., None], frac, 0.5), 0.0, 1.0)
+            sgrad = trilerp_field_grad(surf8, frac_for_grad)
             if opt.only_outward_intersect:
-                sgrad = trilerp_field_grad(surf8, frac)
                 geo_ok = geo_ok & (jnp.sum(sgrad * dirs, axis=-1) > 0)
+            # surface normal = -grad (positive-inside SDF), unit-normalized
+            nsq = jnp.sum(sgrad * sgrad, axis=-1, keepdims=True)
+            snormal = -sgrad / jnp.sqrt(jnp.where(nsq > 1e-20, nsq, 1e-20))
             frac_safe = jnp.clip(jnp.where(geo_ok[..., None], frac, 0.5), 0.0, 1.0)
             raw_a, rgb = sample_at(frac_safe)
             cnt = cnt + geo_ok.astype(jnp.int32)  # ++intersect_i
@@ -212,7 +244,7 @@ def _voxel_pass(
                     cnt - 1, grid.truncated_vol_render_a, opt.trunc_vol_weight_min
                 )
                 alpha = alpha * rw
-            slot_data.append((close_t + st, alpha, rgb, contrib, False))
+            slot_data.append((close_t + st, alpha, rgb, contrib, False, snormal))
 
     # ---- fake sample (surf_trav.cu:423-541) ----
     if opt.surf_fake_sample:
@@ -245,11 +277,11 @@ def _voxel_pass(
                 cnt - 1, grid.truncated_vol_render_a, opt.trunc_vol_weight_min
             )
             alpha = alpha * rw
-        slot_data.append((tf, alpha, rgb, take, True))
+        slot_data.append((tf, alpha, rgb, take, True, jnp.zeros((B, 3), dtype)))
 
     # ---- sequential composite over slots + streaming loss updates ----
     ts_slots, a_slots, w_slots, fake_slots, valid_slots = [], [], [], [], []
-    for t_s, alpha, rgb, contrib, is_fake in slot_data:
+    for t_s, alpha, rgb, contrib, is_fake, snorm in slot_data:
         alpha = jnp.where(contrib, alpha, 0.0)
         # pcnt = -log(1 - alpha) with the oracle's clamp (svox2.py:2423)
         one_m = jnp.clip(1.0 - alpha, 1e-7, 1.0 - 1e-7)
@@ -257,6 +289,7 @@ def _voxel_pass(
         weight = jnp.where(contrib, jnp.exp(log_T) * (1.0 - one_m), 0.0)
         rgb_acc = rgb_acc + weight[..., None] * rgb
         depth_acc = depth_acc + weight * t_s
+        normal_acc = normal_acc + weight[..., None] * snorm
         log_T = log_T + log_att
 
         inc = contrib & (opt.fake_sample_l_dist or not is_fake)
@@ -313,6 +346,7 @@ def _voxel_pass(
         "log_T": log_T,
         "rgb": rgb_acc,
         "depth": depth_acc,
+        "normal": normal_acc,
         "cnt": cnt,
         "alive": alive,
         "acc": acc,
@@ -337,6 +371,7 @@ def _finalize(grid, opt, state, cache_size, samples_ys=None):
     out = {
         "rgb": rgb_out,
         "depth": state["depth"],
+        "normal": state["normal"],
         "log_transmit": log_T,
         "n_intersections": state["cnt"],
         "ray_losses": {
@@ -404,6 +439,7 @@ def volume_render_surface(
     B = origins.shape[0]
     dtype = origins.dtype
     t0 = jnp.where(ray_ok, tnear, 0.0)
+    packed = pack_grid_data(grid)
 
     @functools.partial(jax.checkpoint, prevent_cse=False)
     def step(carry, _):
@@ -420,6 +456,7 @@ def volume_render_surface(
         state, ys = _voxel_pass(
             grid, opt, origins, dirs, sh_mult, near_grid_t, state,
             l, close_t, far_t, seg_ok & in_bounds, cache_size, return_samples,
+            packed=packed,
         )
         state["alive"] = state["alive"] & (next_t_safe < tmax + 1e-6) & has_next
         t_new = jnp.where(seg_ok, next_t_safe, t)
@@ -564,6 +601,7 @@ def volume_render_surface_compact(
         grid, origins, dirs, jnp.where(ray_ok, tnear, 0.0),
         jnp.where(ray_ok, tmax, -1.0), occ, max_intersect_voxels,
     )
+    packed = pack_grid_data(grid)
 
     @functools.partial(jax.checkpoint, prevent_cse=False)
     def step(state, xs):
@@ -571,6 +609,7 @@ def volume_render_surface_compact(
         state, ys = _voxel_pass(
             grid, opt, origins, dirs, sh_mult, near_grid_t, state,
             l, close_t, far_t, valid & ray_ok, cache_size, return_samples,
+            packed=packed,
         )
         return state, ys
 
