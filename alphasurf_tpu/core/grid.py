@@ -63,9 +63,27 @@ class SparseGrid:
     truncated_vol_render_a: jnp.ndarray
     radius: jnp.ndarray
     center: jnp.ndarray
+    # MSI background model (svox2.py:731-755): equirect links (2R, R) and
+    # per-link (nlayers, 4) rgba data; None = no background
+    background_links: Optional[jnp.ndarray] = None
+    background_data: Optional[jnp.ndarray] = None
+    # learned basis (BASIS_TYPE_3D_TEXTURE): (reso,reso,reso,basis_dim)
+    basis_data: Optional[jnp.ndarray] = None
     basis_dim: int = 9
     surface_type: int = defs.SURFACE_TYPE_NONE
     basis_type: int = defs.BASIS_TYPE_SH
+
+    @property
+    def use_background(self):
+        return self.background_data is not None
+
+    @property
+    def background_nlayers(self):
+        return 0 if self.background_data is None else self.background_data.shape[1]
+
+    @property
+    def background_reso(self):
+        return 0 if self.background_links is None else self.background_links.shape[1]
 
     # ---- static geometry ----
     @property

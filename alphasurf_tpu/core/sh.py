@@ -42,6 +42,30 @@ SH_C4 = (
 MAX_SH_BASIS = 10
 
 
+def eval_learned_basis(basis_data: jnp.ndarray, dirs: jnp.ndarray) -> jnp.ndarray:
+    """Learned 3D-texture basis: trilerp ``basis_data`` (R,R,R,bd) at the
+    unit direction embedded in the cube (svox2.py:6404-6410,
+    _eval_learned_bases)."""
+    R = basis_data.shape[0]
+    pos = (dirs * 0.5 + 0.5) * (R - 1)
+    pos = jnp.clip(pos, 0.0, R - 1)
+    l = jnp.clip(pos.astype(jnp.int32), 0, R - 2)
+    f = pos - l
+    out = 0.0
+    for dx in (0, 1):
+        for dy in (0, 1):
+            for dz in (0, 1):
+                w = (
+                    (f[..., 0] if dx else 1 - f[..., 0])
+                    * (f[..., 1] if dy else 1 - f[..., 1])
+                    * (f[..., 2] if dz else 1 - f[..., 2])
+                )
+                out = out + w[..., None] * basis_data[
+                    l[..., 0] + dx, l[..., 1] + dy, l[..., 2] + dz
+                ]
+    return out
+
+
 def eval_sh_bases(basis_dim: int, dirs: jnp.ndarray) -> jnp.ndarray:
     """Evaluate SH bases at unit directions.
 

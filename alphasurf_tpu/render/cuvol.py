@@ -54,7 +54,14 @@ def volume_render_cuvol(
     delta_scale = 1.0 / jnp.linalg.norm(dirs, axis=-1)
     dirs = dirs * delta_scale[..., None]
 
-    sh_mult = eval_sh_bases(grid.basis_dim, viewdirs)  # (B, bd)
+    from .. import defs as _defs
+
+    if grid.basis_type == _defs.BASIS_TYPE_3D_TEXTURE and grid.basis_data is not None:
+        from ..core.sh import eval_learned_basis
+
+        sh_mult = eval_learned_basis(grid.basis_data, viewdirs)
+    else:
+        sh_mult = eval_sh_bases(grid.basis_dim, viewdirs)  # (B, bd)
 
     # cuvol bounds convention: sample-centered planes at -0.5 / gsz-0.5
     # (svox2.py:1239-1248)
@@ -103,5 +110,11 @@ def volume_render_cuvol(
         step, init, jnp.arange(max_steps)
     )
 
+    if grid.use_background:
+        from .background import render_background
+
+        rgb_acc, log_T = render_background(
+            grid, opt, origins, dirs, delta_scale, log_T, rgb_acc
+        )
     rgb_out = rgb_acc + jnp.exp(log_T)[..., None] * opt.background_brightness
     return {"rgb": rgb_out, "log_transmit": log_T, "depth": depth_acc}

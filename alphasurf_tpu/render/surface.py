@@ -382,11 +382,19 @@ def _voxel_pass(
     return new_state, ys
 
 
-def _finalize(grid, opt, state, cache_size, samples_ys=None):
+def _finalize(grid, opt, state, cache_size, samples_ys=None, bg_rays=None):
     B = state["rgb"].shape[0]
     log_T = state["log_T"]
     acc = state["acc"]
-    rgb_out = state["rgb"] + jnp.exp(log_T)[..., None] * opt.background_brightness
+    rgb_fg = state["rgb"]
+    if grid.use_background and bg_rays is not None:
+        from .background import render_background
+
+        origins, dirs, delta_scale = bg_rays
+        rgb_fg, log_T = render_background(
+            grid, opt, origins, dirs, delta_scale, log_T, rgb_fg
+        )
+    rgb_out = rgb_fg + jnp.exp(log_T)[..., None] * opt.background_brightness
     out = {
         "rgb": rgb_out,
         "depth": state["depth"],
@@ -424,12 +432,19 @@ def _finalize(grid, opt, state, cache_size, samples_ys=None):
 
 
 def _prep(grid, rays, opt):
-    origins, dirs, viewdirs, _ = dda.preprocess_rays(grid, rays.origins, rays.dirs)
+    origins, dirs, viewdirs, delta_scale = dda.preprocess_rays(
+        grid, rays.origins, rays.dirs
+    )
     tnear, tmax = dda.ray_bounds(grid, origins, dirs)
-    sh_mult = eval_sh_bases(grid.basis_dim, viewdirs)
+    if grid.basis_type == defs.BASIS_TYPE_3D_TEXTURE and grid.basis_data is not None:
+        from ..core.sh import eval_learned_basis
+
+        sh_mult = eval_learned_basis(grid.basis_data, viewdirs)
+    else:
+        sh_mult = eval_sh_bases(grid.basis_dim, viewdirs)
     near_grid_t = opt.near_clip * jnp.mean(grid.scaling * grid.gsz)
     ray_ok = jnp.isfinite(tnear) & jnp.isfinite(tmax) & (tnear <= tmax)
-    return origins, dirs, sh_mult, tnear, tmax, near_grid_t, ray_ok
+    return origins, dirs, sh_mult, tnear, tmax, near_grid_t, ray_ok, delta_scale
 
 
 # ---------------------------------------------------------------------------
@@ -454,7 +469,8 @@ def volume_render_surface(
     if max_voxels is None:
         max_voxels = max_voxels_for(grid)
 
-    origins, dirs, sh_mult, tnear, tmax, near_grid_t, ray_ok = _prep(grid, rays, opt)
+    (origins, dirs, sh_mult, tnear, tmax, near_grid_t, ray_ok,
+     delta_scale) = _prep(grid, rays, opt)
     B = origins.shape[0]
     dtype = origins.dtype
     t0 = jnp.where(ray_ok, tnear, 0.0)
@@ -483,7 +499,8 @@ def volume_render_surface(
 
     init = (t0, _init_state(B, dtype, cache_size, ray_ok))
     (_, state), ys = jax.lax.scan(step, init, None, length=max_voxels)
-    return _finalize(grid, opt, state, cache_size, ys if return_samples else None)
+    return _finalize(grid, opt, state, cache_size, ys if return_samples else None,
+                     bg_rays=(origins, dirs, delta_scale))
 
 
 # ---------------------------------------------------------------------------
@@ -622,7 +639,8 @@ def volume_render_surface_compact(
     ``max_intersect_voxels`` occupied voxels; 'n_occupied' in the output
     reports the true per-ray count for overflow monitoring."""
     assert grid.surface_data is not None, "surface grid required"
-    origins, dirs, sh_mult, tnear, tmax, near_grid_t, ray_ok = _prep(grid, rays, opt)
+    (origins, dirs, sh_mult, tnear, tmax, near_grid_t, ray_ok,
+     delta_scale) = _prep(grid, rays, opt)
     B = origins.shape[0]
     dtype = origins.dtype
 
@@ -651,6 +669,7 @@ def volume_render_surface_compact(
         jnp.moveaxis(valid_k, 1, 0),
     )
     state, ys = jax.lax.scan(step, init, xs, unroll=unroll)
-    out = _finalize(grid, opt, state, cache_size, ys if return_samples else None)
+    out = _finalize(grid, opt, state, cache_size, ys if return_samples else None,
+                    bg_rays=(origins, dirs, delta_scale))
     out["n_occupied"] = n_occ
     return out

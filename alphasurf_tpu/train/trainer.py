@@ -38,6 +38,15 @@ class Trainer:
         self.key = jax.random.PRNGKey(cfg.seed)
         self.gstep = 0
         os.makedirs(cfg.train_dir, exist_ok=True)
+        # TensorBoard-equivalent metrics (opt.py:70 SummaryWriter)
+        self.summary_writer = None
+        if not cfg.tune_mode:
+            try:
+                from torch.utils.tensorboard import SummaryWriter
+
+                self.summary_writer = SummaryWriter(cfg.train_dir)
+            except Exception:
+                pass
         self._build_grid()
         self._build_schedules()
         self.rms = init_rms(self.grid)
@@ -304,6 +313,16 @@ class Trainer:
                     f"step {self.gstep} [{kind}] mse={avg_mse:.5f} psnr={psnr:.2f} "
                     f"({self.gstep / dt:.1f} it/s)"
                 )
+                if self.summary_writer is not None:
+                    sw = self.summary_writer
+                    sw.add_scalar("mse", avg_mse, self.gstep)
+                    sw.add_scalar("psnr", psnr, self.gstep)
+                    sw.add_scalar("lr_sh", float(hp.lr_sh), self.gstep)
+                    if kind == "surface":
+                        sw.add_scalar("lr_alpha", float(hp.lr_alpha), self.gstep)
+                        sw.add_scalar("lr_surface", float(hp.lr_surface), self.gstep)
+                    else:
+                        sw.add_scalar("lr_sigma", float(hp.lr_sigma), self.gstep)
                 stats_acc = {"mse": 0.0, "n": 0}
 
             if cfg.eval_every_iter and self.gstep % cfg.eval_every_iter == 0:

@@ -34,6 +34,11 @@ def save_grid(grid: SparseGrid, path: str, step_id: int = 0, compress: bool = Fa
         data["level_set_data"] = np.asarray(grid.level_set_data, np.float32)
     if grid.fake_sample_std is not None:
         data["fake_sample_std"] = np.asarray(grid.fake_sample_std, np.float32)
+    if grid.background_data is not None:
+        data["background_links"] = np.asarray(grid.background_links)
+        data["background_data"] = np.asarray(grid.background_data, np.float32)
+    if grid.basis_data is not None:
+        data["basis_data"] = np.asarray(grid.basis_data, np.float32)
     save_fn(path, **data)
 
 
@@ -53,6 +58,12 @@ def load_grid(path: str, dtype=jnp.float32) -> tuple[SparseGrid, int]:
     fss = None
     if "fake_sample_std" in z:
         fss = jnp.asarray(z["fake_sample_std"].astype(np.float32), dtype)
+    bg_links = bg_data = basis_data = None
+    if "background_data" in z:
+        bg_links = jnp.asarray(z["background_links"].astype(np.int32))
+        bg_data = jnp.asarray(z["background_data"].astype(np.float32), dtype)
+    if "basis_data" in z and z["basis_data"].size:
+        basis_data = jnp.asarray(z["basis_data"].astype(np.float32), dtype)
     radius = z["radius"] if "radius" in z else np.ones(3, np.float32)
     center = z["center"] if "center" in z else np.zeros(3, np.float32)
     grid = SparseGrid(
@@ -65,6 +76,9 @@ def load_grid(path: str, dtype=jnp.float32) -> tuple[SparseGrid, int]:
         truncated_vol_render_a=jnp.asarray(1.0, dtype),
         radius=jnp.asarray(radius, dtype),
         center=jnp.asarray(center, dtype),
+        background_links=bg_links,
+        background_data=bg_data,
+        basis_data=basis_data,
         basis_dim=sh_data.shape[1] // 3,
         surface_type=surface_type,
         basis_type=int(z["basis_type"]) if "basis_type" in z else defs.BASIS_TYPE_SH,

@@ -18,3 +18,7 @@ jax.config.update("jax_platforms", "cpu")
 # oracle can compare strictly; production arrays remain f32 (x64 mode does
 # not upcast explicitly-typed f32 inputs).
 jax.config.update("jax_enable_x64", True)
+# Persistent compile cache: the suite re-compiles many scan-heavy programs;
+# caching cuts repeat runs by minutes.
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

@@ -17,8 +17,8 @@ def test_three_stage_training(tmp_path):
         reso=[[24, 24, 24]],
         surface_type="sdf",
         batch_size=800,
-        n_iters=160,
-        no_surface_init_iters=80,
+        n_iters=120,
+        no_surface_init_iters=60,
         surf_init_density_lvs=[1.5],
         surf_init_alpha_rescale=1.0,
         init_sigma=0.5,
@@ -36,7 +36,7 @@ def test_three_stage_training(tmp_path):
         only_outward_intersect=True,
         surf_fake_sample=True, limited_fake_sample=True,
         fake_sample_std=0.2, fake_sample_std_final=0.05,
-        fs_std_decay_type="linear", fake_sample_std_decay_steps=80,
+        fs_std_decay_type="linear", fake_sample_std_decay_steps=60,
         sigma_thresh=-1e9, stop_thresh=-1e9,
         eval_every_iter=0, print_every=40, save_every=-1,
         n_eval_test=2, nosphereinit=True,
@@ -54,5 +54,5 @@ def test_three_stage_training(tmp_path):
     from alphasurf_tpu.utils.io import load_grid
 
     g2, step = load_grid(str(tmp_path / "ckpt" / "ckpt.npz"))
-    assert step == 160
+    assert step == 120
     assert g2.surface_data.shape == trainer.grid.surface_data.shape
