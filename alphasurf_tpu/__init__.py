@@ -11,7 +11,7 @@ from .core.options import RenderOptions
 from .core.rays import Camera, Rays
 from .core.sh import eval_sh_bases
 from .render.cuvol import volume_render_cuvol
-from .render.surface import volume_render_surface
+from .render.surface import volume_render_surface, volume_render_surface_compact
 
 __version__ = "0.1.0"
 
@@ -25,4 +25,5 @@ __all__ = [
     "eval_sh_bases",
     "volume_render_cuvol",
     "volume_render_surface",
+    "volume_render_surface_compact",
 ]

@@ -133,4 +133,22 @@ class DatasetBase:
         )
         if self.epoch_size is not None:
             perm = perm[: self.epoch_size]
+        # threaded native row gather when available (csrc/native.cpp) —
+        # the reference reshuffles ~1e8 rays on GPU each epoch
+        # (dataset_base.py:73-78); here the table lives host-side
+        from ..utils import native
+
+        r = self.rays_init
+        o = native.shuffle_gather(r.origins, perm)
+        if o is not None:
+            self.rays = RayBatch(
+                o,
+                native.shuffle_gather(r.dirs, perm),
+                native.shuffle_gather(r.gt, perm),
+                None if r.mask is None
+                else native.shuffle_gather(
+                    r.mask.astype(np.float32).reshape(-1, 1), perm
+                ).reshape(-1).astype(r.mask.dtype),
+            )
+            return
         self.rays = self.rays_init[perm]

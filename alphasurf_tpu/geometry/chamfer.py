@@ -26,9 +26,15 @@ def chamfer(pts: np.ndarray, gt_pts: np.ndarray):
 
 def downsample_points(pts: np.ndarray, radius: float) -> np.ndarray:
     """Voxel-hash downsample with cell size ``radius`` (purpose-equivalent
-    to the reference's radius-NN subset selection, opt.py:606-615)."""
+    to the reference's radius-NN subset selection, opt.py:606-615).
+    Keeps the first point per cell; native C++ hash path when available."""
     if len(pts) == 0 or radius <= 0:
         return pts
+    from ..utils import native
+
+    idx = native.voxel_downsample_indices(pts, radius)
+    if idx is not None:
+        return pts[idx]
     keys = np.floor(pts / radius).astype(np.int64)
     _, idx = np.unique(keys, axis=0, return_index=True)
     return pts[np.sort(idx)]

@@ -147,9 +147,19 @@ _CORNERS = np.array(
 )
 
 
-def marching_tetrahedra(field: np.ndarray, level: float = 0.0):
+def marching_tetrahedra(field: np.ndarray, level: float = 0.0,
+                        use_native: bool = True):
     """Triangulate the ``field == level`` iso-surface of a dense (X,Y,Z)
-    scalar field. Returns (verts (V,3) in grid coords, faces (F,3))."""
+    scalar field. Returns (verts (V,3) in grid coords, faces (F,3)).
+
+    Dispatches to the threaded C++ implementation (csrc/native.cpp) when
+    available; the NumPy path below is the differential-test oracle."""
+    if use_native:
+        from ..utils import native
+
+        out = native.marching_tetrahedra(field, level)
+        if out is not None:
+            return out
     X, Y, Z = field.shape
     f = field - level
     # all cells

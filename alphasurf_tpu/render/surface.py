@@ -137,6 +137,17 @@ def pack_grid_data(grid: SparseGrid) -> jnp.ndarray:
     return jnp.concatenate(parts, axis=1)
 
 
+def _gather_rows(packed: jnp.ndarray, links8: jnp.ndarray, dtype) -> jnp.ndarray:
+    """Isolated row gather: flat indices + an optimization barrier so XLA
+    emits one standalone gather kernel (a fused in-scan gather lowers ~60x
+    slower than the same take as its own kernel — see PERF.md)."""
+    safe = jnp.clip(links8, 0, packed.shape[0] - 1)
+    rows = jnp.take(packed, safe.reshape(-1), axis=0)
+    rows = jax.lax.optimization_barrier(rows)
+    v8 = rows.reshape(*links8.shape, packed.shape[1])
+    return v8 * (links8 >= 0)[..., None].astype(dtype)
+
+
 def _voxel_pass(
     grid: SparseGrid,
     opt: RenderOptions,
@@ -153,11 +164,18 @@ def _voxel_pass(
     return_slots: bool,
     packed=None,
 ):
-    """Process one voxel for every ray: find intersections, composite,
-    update streaming losses. Returns (state, slot_ys or None)."""
-    B = origins.shape[0]
+    """Process a chunk of V voxels for every ray: find intersections,
+    composite, update streaming losses. ``l`` is (B, V, 3); ``close_t``,
+    ``far_t``, ``vox_ok`` are (B, V). Voxels within the chunk are composited
+    in slot order (voxel-major), so a chunk of V behaves exactly like V
+    sequential single-voxel passes. Returns (state, slot_ys or None)."""
+    B, V = close_t.shape
     dtype = origins.dtype
     n_lv = grid.level_set_data.shape[0]
+    o3 = origins[:, None, :]  # (B,1,3) broadcast over voxels
+    d3 = dirs[:, None, :]
+    o4 = origins[:, None, None, :]  # (B,1,1,3) broadcast over (voxel, slot)
+    d4 = dirs[:, None, None, :]
 
     log_T = state["log_T"]
     rgb_acc = state["rgb"]
@@ -165,26 +183,24 @@ def _voxel_pass(
     normal_acc = state["normal"]
     acc = state["acc"]
 
-    links8 = gather_corner_links(grid.links, l)
+    links8 = gather_corner_links(grid.links, l)  # (B, V, 8)
     all_present = jnp.all(links8 >= 0, axis=-1)
-    vox_ok = vox_ok & all_present & state["alive"]
+    vox_ok = vox_ok & all_present & state["alive"][:, None]
 
     if packed is None:
         packed = pack_grid_data(grid)
-    safe = jnp.clip(links8, 0, packed.shape[0] - 1)
-    v8 = jnp.take(packed, safe, axis=0)  # (B, 8, C8)
-    v8 = v8 * (links8 >= 0)[..., None].astype(dtype)
-    alpha8 = v8[..., 0]  # (B, 8)
+    v8 = _gather_rows(packed, links8, dtype)  # (B, V, 8, C8)
+    alpha8 = v8[..., 0]  # (B, V, 8)
     # corner raw-alpha prefilter (surf_trav.cu:230-239)
     vox_ok = vox_ok & jnp.any(alpha8 >= opt.sigma_thresh, axis=-1)
 
-    surf8 = v8[..., 1]  # (B, 8)
+    surf8 = v8[..., 1]  # (B, V, 8)
     if grid.surface_type in _UDF_TYPES:
         surf8 = jax.nn.softplus(surf8)
-    sh8 = v8[..., 2 : 2 + 3 * grid.basis_dim]  # (B, 8, 3*bd)
+    sh8 = v8[..., 2 : 2 + 3 * grid.basis_dim]  # (B, V, 8, 3*bd)
 
-    u = origins + close_t[..., None] * dirs - l.astype(dtype)
-    f0, f1, f2, f3 = cubic_coeffs(surf8, u, dirs)
+    u = o3 + close_t[..., None] * d3 - l.astype(dtype)  # (B, V, 3)
+    f0, f1, f2, f3 = cubic_coeffs(surf8, u, d3)  # each (B, V)
     smin = jnp.min(surf8, axis=-1)
     smax = jnp.max(surf8, axis=-1)
 
@@ -198,74 +214,67 @@ def _voxel_pass(
     # rgb(frac) = clip(sum_k w8_k(frac) * c_k + 0.5) where
     # c_k = sum_b sh8[k, ch*bd+b] * sh_mult[b]  — 8x3 per ray, reused by all
     # sample slots. Elementwise multiply-reduce (VPU), never a tiny matmul.
-    sh_r = sh8.reshape(B, 8, 3, grid.basis_dim)
-    corner_rgb = jnp.sum(sh_r * sh_mult[:, None, None, :], axis=-1)  # (B,8,3)
+    sh_r = sh8.reshape(B, V, 8, 3, grid.basis_dim)
+    corner_rgb = jnp.sum(
+        sh_r * sh_mult[:, None, None, None, :], axis=-1
+    )  # (B, V, 8, 3)
 
     # ---- real intersections, vectorized over the 3 roots per level set ----
     # (slot axis S = 3*n_lv [+1 fake], processed with cumsums/cumprods along
-    # S instead of a sequential python loop — ~4x fewer ops in the scan body)
+    # (voxel, slot) instead of a sequential python loop)
     cnt_in = state["cnt"]
-    root_chunks, geo_chunks, lv_ok_list = [], [], []
+    root_chunks, lv_ok_list = [], []
     for i in range(n_lv):
         lv = grid.level_set_data[i]
-        lv_ok = vox_ok & (lv >= smin) & (lv <= smax)
+        lv_ok = vox_ok & (lv >= smin) & (lv <= smax)  # (B, V)
         lv_ok_list.append(lv_ok)
-        roots = cubic_roots(f0 - lv, f1, f2, f3)  # (B, 3)
+        roots = cubic_roots(f0 - lv, f1, f2, f3)  # (B, V, 3)
         root_chunks.append(roots)
-        geo_chunks.append(lv_ok[:, None])
-    roots = jnp.concatenate(root_chunks, axis=1)  # (B, 3*n_lv)
+    roots = jnp.concatenate(root_chunks, axis=2)  # (B, V, 3*n_lv)
     lv_ok_s = jnp.concatenate(
-        [g.repeat(3, axis=1) for g in geo_chunks], axis=1
-    )  # (B, 3*n_lv)
-    vox_has_surf = jnp.any(jnp.stack(lv_ok_list, -1), -1)
+        [g[..., None].repeat(3, axis=2) for g in lv_ok_list], axis=2
+    )  # (B, V, 3*n_lv)
+    vox_has_surf = jnp.any(jnp.stack(lv_ok_list, -1), -1)  # (B, V)
 
-    t_real = close_t[:, None] + roots  # global t per slot
-    frac = (
-        origins[:, None, :] + t_real[..., None] * dirs[:, None, :]
-        - l[:, None, :].astype(dtype)
-    )  # (B, S, 3)
+    t_real = close_t[..., None] + roots  # global t per slot (B, V, S0)
+    frac = o4 + t_real[..., None] * d4 - l[:, :, None, :].astype(dtype)
     in_cube = jnp.all(frac >= 0, -1) & jnp.all(frac <= 1, -1)
     geo_ok = lv_ok_s & (roots > 0) & in_cube & (t_real >= near_grid_t)
     # vox_has_sample set before outward test (surf_trav.cu:348)
-    vox_has_sample = jnp.any(geo_ok, axis=-1)
+    vox_has_sample = jnp.any(geo_ok, axis=-1)  # (B, V)
     frac_safe = jnp.clip(jnp.where(geo_ok[..., None], frac, 0.5), 0.0, 1.0)
-    sgrad = trilerp_field_grad(surf8[:, None, :], frac_safe)  # (B, S, 3)
+    sgrad = trilerp_field_grad(surf8[:, :, None, :], frac_safe)  # (B,V,S0,3)
     if opt.only_outward_intersect:
-        geo_ok = geo_ok & (jnp.sum(sgrad * dirs[:, None, :], axis=-1) > 0)
+        geo_ok = geo_ok & (jnp.sum(sgrad * d4, axis=-1) > 0)
     nsq = jnp.sum(sgrad * sgrad, axis=-1, keepdims=True)
     snorm_s = -sgrad / jnp.sqrt(jnp.where(nsq > 1e-20, nsq, 1e-20))
 
-    w8 = trilerp_weights(frac_safe)  # (B, S, 8)
-    raw_a = jnp.sum(w8 * alpha8[:, None, :], axis=-1)  # (B, S)
+    w8 = trilerp_weights(frac_safe)  # (B, V, S0, 8)
+    raw_a = jnp.sum(w8 * alpha8[:, :, None, :], axis=-1)  # (B, V, S0)
     rgb_s = jnp.clip(
-        jnp.sum(w8[..., None] * corner_rgb[:, None, :, :], axis=2) + 0.5, min=0.0
-    )  # (B, S, 3)
+        jnp.sum(w8[..., None] * corner_rgb[:, :, None, :, :], axis=3) + 0.5,
+        min=0.0,
+    )  # (B, V, S0, 3)
     contrib = geo_ok & (raw_a > opt.sigma_thresh)
     alpha_s = surf_alpha_act(raw_a, opt.alpha_activation_type)
-    # running intersection index (kernel's ++intersect_i, slot-ordered)
-    cnt_incl = cnt_in[:, None] + jnp.cumsum(geo_ok.astype(jnp.int32), axis=1).astype(jnp.int32)
-    if opt.truncated_vol_render:
-        rw = trunc_vol_render_rw(
-            cnt_incl - 1, grid.truncated_vol_render_a, opt.trunc_vol_weight_min
-        )
-        alpha_s = alpha_s * rw
-    cnt = cnt_in + jnp.sum(geo_ok.astype(jnp.int32), axis=1).astype(jnp.int32)
     t_s = t_real
     fake_s = jnp.zeros(contrib.shape, bool)
+    counted = geo_ok
 
-    # ---- fake sample (surf_trav.cu:423-541), appended as the last slot ----
+    # ---- fake sample (surf_trav.cu:423-541), appended as each voxel's last
+    # slot (slot order keeps voxel-major compositing order intact) ----
     if opt.surf_fake_sample:
         take = vox_ok & ~vox_has_sample & (
             (far_t - close_t) > opt.surf_fake_sample_min_vox_len
         )
         if opt.limited_fake_sample:
             take = take & vox_has_surf
-        tf = 0.5 * (close_t + far_t)
-        ffrac = origins + tf[..., None] * dirs - l.astype(dtype)
+        tf = 0.5 * (close_t + far_t)  # (B, V)
+        ffrac = o3 + tf[..., None] * d3 - l.astype(dtype)
         ffrac = jnp.clip(jnp.where(take[..., None], ffrac, 0.5), 0.0, 1.0)
-        fw8 = trilerp_weights(ffrac)
+        fw8 = trilerp_weights(ffrac)  # (B, V, 8)
         fraw = jnp.sum(fw8 * alpha8, axis=-1)
-        frgb = jnp.clip(jnp.sum(fw8[..., None] * corner_rgb, axis=1) + 0.5, min=0.0)
+        frgb = jnp.clip(jnp.sum(fw8[..., None] * corner_rgb, axis=2) + 0.5, min=0.0)
         take = take & (fraw > opt.sigma_thresh)
         falpha = surf_alpha_act(fraw, opt.alpha_activation_type)
         mu = jnp.mean(surf8, axis=-1)
@@ -275,22 +284,62 @@ def _voxel_pass(
             std = jnp.ones_like(std)
         s_norm = jnp.sum(fw8 * (surf8 / std[..., None]), axis=-1)
         # signed distance to nearest level set (surf_trav.cu:486-490)
-        dists = s_norm[..., None] - grid.level_set_data[None, :]
+        dists = s_norm[..., None] - grid.level_set_data[None, None, :]
         amin = jnp.argmin(jnp.abs(dists), axis=-1)
         fake_dist = jnp.take_along_axis(dists, amin[..., None], axis=-1)[..., 0]
         falpha = falpha * jnp.exp(-0.5 * (fake_dist / fs_std) ** 2)
-        if opt.truncated_vol_render:
-            falpha = falpha * trunc_vol_render_rw(
-                cnt - 1, grid.truncated_vol_render_a, opt.trunc_vol_weight_min
-            )
-        t_s = jnp.concatenate([t_s, tf[:, None]], axis=1)
-        alpha_s = jnp.concatenate([alpha_s, falpha[:, None]], axis=1)
-        rgb_s = jnp.concatenate([rgb_s, frgb[:, None, :]], axis=1)
-        contrib = jnp.concatenate([contrib, take[:, None]], axis=1)
-        fake_s = jnp.concatenate([fake_s, jnp.ones((B, 1), bool)], axis=1)
-        snorm_s = jnp.concatenate([snorm_s, jnp.zeros((B, 1, 3), dtype)], axis=1)
+        t_s = jnp.concatenate([t_s, tf[..., None]], axis=2)
+        alpha_s = jnp.concatenate([alpha_s, falpha[..., None]], axis=2)
+        rgb_s = jnp.concatenate([rgb_s, frgb[:, :, None, :]], axis=2)
+        contrib = jnp.concatenate([contrib, take[..., None]], axis=2)
+        fake_s = jnp.concatenate(
+            [fake_s, jnp.ones((B, V, 1), bool)], axis=2
+        )
+        snorm_s = jnp.concatenate(
+            [snorm_s, jnp.zeros((B, V, 1, 3), dtype)], axis=2
+        )
+        counted = jnp.concatenate(
+            [counted, jnp.zeros((B, V, 1), bool)], axis=2
+        )
 
-    # ---- vectorized composite along the slot axis ----
+    # ---- flatten (voxel, slot) -> composite axis, voxel-major ----
+    S = contrib.shape[2]
+    VS = V * S
+    t_s = t_s.reshape(B, VS)
+    alpha_s = alpha_s.reshape(B, VS)
+    rgb_s = rgb_s.reshape(B, VS, 3)
+    contrib = contrib.reshape(B, VS)
+    fake_s = fake_s.reshape(B, VS)
+    snorm_s = snorm_s.reshape(B, VS, 3)
+    counted_i = counted.reshape(B, VS).astype(jnp.int32)
+
+    # running intersection index (kernel's ++intersect_i, slot-ordered);
+    # fake samples use the post-voxel count minus one (svox2.py:2356)
+    exc_cnt = (
+        cnt_in[:, None] + jnp.cumsum(counted_i, axis=1) - counted_i
+    ).astype(jnp.int32)
+    if opt.truncated_vol_render:
+        ids = exc_cnt - fake_s.astype(jnp.int32)
+        rw = trunc_vol_render_rw(
+            ids, grid.truncated_vol_render_a, opt.trunc_vol_weight_min
+        )
+        alpha_s = alpha_s * rw
+    cnt = (cnt_in + jnp.sum(counted_i, axis=1)).astype(jnp.int32)
+
+    # ---- stop_thresh: kill voxels whose entry transmittance is below the
+    # threshold (the dense walk's per-voxel `alive` check; log-attenuation is
+    # monotone so the unmasked prefix decides death exactly) ----
+    if opt.stop_thresh > 0:
+        one_m0 = jnp.where(
+            contrib, jnp.clip(1.0 - jnp.where(contrib, alpha_s, 0.0),
+                              1e-7, 1.0 - 1e-7), 1.0
+        )
+        att_v = jnp.sum(jnp.log(one_m0).reshape(B, V, S), axis=2)  # (B, V)
+        entry_v = log_T[:, None] + jnp.cumsum(att_v, axis=1) - att_v
+        alive_v = entry_v > math.log(opt.stop_thresh)
+        contrib = contrib & alive_v[..., None].repeat(S, 2).reshape(B, VS)
+
+    # ---- vectorized composite along the flattened slot axis ----
     alpha_s = jnp.where(contrib, alpha_s, 0.0)
     # pcnt = -log(1 - alpha) with the oracle's clamp (svox2.py:2423)
     one_m = jnp.where(contrib, jnp.clip(1.0 - alpha_s, 1e-7, 1.0 - 1e-7), 1.0)
@@ -343,8 +392,7 @@ def _voxel_pass(
 
     if cache_size is not None:
         K = cache_size
-        S = contrib.shape[1]
-        for s in range(S):  # S is tiny (<= 3*n_lv+1); cache path is optional
+        for s in range(contrib.shape[1]):  # V*S is small; cache is optional
             slot_idx = jnp.clip(acc["n_cached"], 0, K - 1)
             write = contrib[:, s] & (acc["n_cached"] < K)
             onehot = (
@@ -490,7 +538,8 @@ def volume_render_surface(
         close_t, far_t = dda.voxel_plane_ts(origins, dirs, l)
         state, ys = _voxel_pass(
             grid, opt, origins, dirs, sh_mult, near_grid_t, state,
-            l, close_t, far_t, seg_ok & in_bounds, cache_size, return_samples,
+            l[:, None, :], close_t[:, None], far_t[:, None],
+            (seg_ok & in_bounds)[:, None], cache_size, return_samples,
             packed=packed,
         )
         state["alive"] = state["alive"] & (next_t_safe < tmax + 1e-6) & has_next
@@ -632,12 +681,17 @@ def volume_render_surface_compact(
     max_intersect_voxels: int = 64,
     cache_size: int | None = None,
     return_samples: bool = False,
-    unroll: int = 4,
+    unroll: int = 1,
+    voxel_chunk: int = 8,
 ):
     """Occupancy-compacted renderer (production path). Result matches
     ``volume_render_surface`` exactly as long as no ray crosses more than
     ``max_intersect_voxels`` occupied voxels; 'n_occupied' in the output
-    reports the true per-ray count for overflow monitoring."""
+    reports the true per-ray count for overflow monitoring.
+
+    ``voxel_chunk`` voxels are processed per scan step as one wide vector
+    pass (gathers hoisted into a single isolated take per chunk); the scan
+    only carries the O(1) compositing state between chunks."""
     assert grid.surface_data is not None, "surface grid required"
     (origins, dirs, sh_mult, tnear, tmax, near_grid_t, ray_ok,
      delta_scale) = _prep(grid, rays, opt)
@@ -651,23 +705,36 @@ def volume_render_surface_compact(
     )
     packed = pack_grid_data(grid)
 
+    K = l_k.shape[1]
+    V = max(1, min(voxel_chunk, K))
+    if K % V:  # pad to a whole number of chunks with invalid voxels
+        pad = V - K % V
+        l_k = jnp.pad(l_k, ((0, 0), (0, pad), (0, 0)))
+        close_k = jnp.pad(close_k, ((0, 0), (0, pad)))
+        far_k = jnp.pad(far_k, ((0, 0), (0, pad)))
+        valid_k = jnp.pad(valid_k, ((0, 0), (0, pad)))
+        K += pad
+    n_chunks = K // V
+
     @functools.partial(jax.checkpoint, prevent_cse=False)
     def step(state, xs):
         l, close_t, far_t, valid = xs
         state, ys = _voxel_pass(
             grid, opt, origins, dirs, sh_mult, near_grid_t, state,
-            l, close_t, far_t, valid & ray_ok, cache_size, return_samples,
-            packed=packed,
+            l, close_t, far_t, valid & ray_ok[:, None], cache_size,
+            return_samples, packed=packed,
         )
         return state, ys
 
     init = _init_state(B, dtype, cache_size, ray_ok)
-    xs = (
-        jnp.moveaxis(l_k, 1, 0),
-        jnp.moveaxis(close_k, 1, 0),
-        jnp.moveaxis(far_k, 1, 0),
-        jnp.moveaxis(valid_k, 1, 0),
-    )
+
+    def chunked(a):
+        # (B, K, ...) -> (n_chunks, B, V, ...)
+        return jnp.moveaxis(
+            a.reshape(B, n_chunks, V, *a.shape[2:]), 1, 0
+        )
+
+    xs = (chunked(l_k), chunked(close_k), chunked(far_k), chunked(valid_k))
     state, ys = jax.lax.scan(step, init, xs, unroll=unroll)
     out = _finalize(grid, opt, state, cache_size, ys if return_samples else None,
                     bg_rays=(origins, dirs, delta_scale))

@@ -82,6 +82,7 @@ class StepConfig:
     use_two_pass_losses: bool = False  # enable cache-based conv/samp losses
     compact: bool = True  # occupancy-compacted traversal (production path)
     max_intersect_voxels: int = 64  # K for the compacted path
+    voxel_chunk: int = 8  # voxels per scan step in the compacted path
 
 
 def init_rms(grid: SparseGrid) -> dict:
@@ -115,6 +116,7 @@ def make_surface_step(cfg: StepConfig):
                     g, rays, cfg.opt,
                     max_intersect_voxels=cfg.max_intersect_voxels,
                     cache_size=cache,
+                    voxel_chunk=cfg.voxel_chunk,
                 )
             else:
                 out = volume_render_surface(
