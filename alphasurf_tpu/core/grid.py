@@ -69,6 +69,8 @@ class SparseGrid:
     background_data: Optional[jnp.ndarray] = None
     # learned basis (BASIS_TYPE_3D_TEXTURE): (reso,reso,reso,basis_dim)
     basis_data: Optional[jnp.ndarray] = None
+    # learned basis MLP params (BASIS_TYPE_MLP, svox2.py:963-976): dict pytree
+    basis_mlp: Optional[dict] = None
     basis_dim: int = 9
     surface_type: int = defs.SURFACE_TYPE_NONE
     basis_type: int = defs.BASIS_TYPE_SH

@@ -260,6 +260,228 @@ def alpha_surf_sparsify_loss(
     return jnp.mean(scale_alpha * alpha_loss + scale_surf * surf_loss)
 
 
+def surface_norm_match_loss(grid: SparseGrid, cells: jnp.ndarray):
+    """Match the surface-field gradient direction to the raw-alpha gradient
+    direction (_surface_norm_match_loss_grad_check, svox2.py:5474-5521).
+    Out-of-bounds/empty neighbors default to the center value (zero diff)."""
+    x, y, z = _cells_to_xyz(cells, grid.reso)
+    l0 = _link_at(grid.links, x, y, z)
+    lx = _link_at(grid.links, x + 1, y, z)
+    ly = _link_at(grid.links, x, y + 1, z)
+    lz = _link_at(grid.links, x, y, z + 1)
+    ok = l0 >= 0
+
+    def diffs(data):
+        v0 = fetch_links(data, l0)[..., 0]
+        dx = jnp.where(lx >= 0, fetch_links(data, lx)[..., 0] - v0, 0.0)
+        dy = jnp.where(ly >= 0, fetch_links(data, ly)[..., 0] - v0, 0.0)
+        dz = jnp.where(lz >= 0, fetch_links(data, lz)[..., 0] - v0, 0.0)
+        g = jnp.stack([dx, dy, dz], -1)
+        # safe normalize matching torch clamp_min(sqrt, 1e-8) backward:
+        # below the clamp the denominator is constant (no grad), no NaN at 0
+        sq = jnp.sum(g * g, -1, keepdims=True)
+        nrm = jnp.sqrt(jnp.where(sq > 1e-16, sq, 1e-16))
+        return g / jnp.maximum(nrm, 1e-8)
+
+    surf_n = diffs(grid.surface_data)
+    alpha_n = diffs(grid.density_data)
+    per_cell = jnp.where(ok, jnp.sum((surf_n - alpha_n) ** 2, -1), 0.0)
+    # reference normalizes by the full sample count, incl. filtered cells
+    return jnp.sum(per_cell) / cells.shape[0]
+
+
+def surface_viscosity_loss(
+    grid: SparseGrid, cells: jnp.ndarray, eta: float = 1e-2, h: float = 1.0
+):
+    """Viscosity-regularized eikonal loss
+    (_surface_viscosity_loss_grad_check, svox2.py:5525-5594):
+    ((|central-diff grad| - 1) * sign(s0) - eta * laplacian)^2 over interior
+    cells whose 6-neighborhood is fully occupied. ``h`` is the grid spacing
+    (reference _get_h)."""
+    x, y, z = _cells_to_xyz(cells, grid.reso)
+    l0 = _link_at(grid.links, x, y, z)
+    lpx, lmx = _link_at(grid.links, x + 1, y, z), _link_at(grid.links, x - 1, y, z)
+    lpy, lmy = _link_at(grid.links, x, y + 1, z), _link_at(grid.links, x, y - 1, z)
+    lpz, lmz = _link_at(grid.links, x, y, z + 1), _link_at(grid.links, x, y, z - 1)
+    ok = (l0 >= 0) & (lpx >= 0) & (lmx >= 0) & (lpy >= 0) & (lmy >= 0) & (lpz >= 0) & (lmz >= 0)
+
+    def S(l):
+        return fetch_links(grid.surface_data, l)[..., 0]
+
+    s0 = S(l0)
+    spx, smx, spy, smy, spz, smz = S(lpx), S(lmx), S(lpy), S(lmy), S(lpz), S(lmz)
+    g2 = (
+        ((spx - smx) / (2 * h)) ** 2
+        + ((spy - smy) / (2 * h)) ** 2
+        + ((spz - smz) / (2 * h)) ** 2
+    )
+    gnorm = jnp.sqrt(jnp.maximum(g2, 1e-8))
+    lap = (spx + smx + spy + smy + spz + smz - 6.0 * s0) / (h * h)
+    vis = ((gnorm - 1.0) * jnp.sign(s0) - eta * lap) ** 2
+    return jnp.sum(jnp.where(ok, vis, 0.0)) / cells.shape[0]
+
+
+def surface_sign_change_loss(grid: SparseGrid, cells: jnp.ndarray):
+    """Penalize surface sign changes to +x/+y/+z neighbors
+    (_surface_sign_change_grad_check, svox2.py:5597-5651): where
+    s0*sn < 0, accumulate (s0 + sn) * reso/256, averaged over the axes that
+    changed sign, mean over cells.
+
+    Faithful detail: the reference twin indexes ``surface_data[links]``
+    without masking empty cells, so a -1 link wraps to the LAST data row
+    (python negative indexing). We reproduce that via modulo indexing.
+    Out-of-bounds neighbors default to the center value (never a sign
+    change), matching the twin's detached-default path."""
+    x, y, z = _cells_to_xyz(cells, grid.reso)
+    X, Y, Z = grid.reso
+    cap = grid.surface_data.shape[0]
+
+    def fetch_wrap(xs, ys, zs):
+        flat = (jnp.clip(xs, 0, X - 1) * Y + jnp.clip(ys, 0, Y - 1)) * Z + jnp.clip(zs, 0, Z - 1)
+        lnk = jnp.take(grid.links.reshape(-1), flat)
+        return jnp.take(grid.surface_data[:, 0], lnk % cap)
+
+    s0 = fetch_wrap(x, y, z)
+    total = jnp.zeros_like(s0)
+    count = jnp.zeros_like(s0)
+    for (xs, ys, zs), inb, r in (
+        ((x + 1, y, z), x + 1 < X, X),
+        ((x, y + 1, z), y + 1 < Y, Y),
+        ((x, y, z + 1), z + 1 < Z, Z),
+    ):
+        sn = jnp.where(inb, fetch_wrap(xs, ys, zs), s0)
+        hit = (s0 * sn < 0.0) & inb
+        total = total + jnp.where(hit, (s0 + sn) * (r / 256.0), 0.0)
+        count = count + hit
+    per_cell = jnp.where(count > 0, total / jnp.maximum(count, 1.0), 0.0)
+    return jnp.mean(per_cell)
+
+
+def l2_color_loss(grid: SparseGrid):
+    """L2 regularization on SH coefficients
+    (inplace_l2_color_grad, svox2.py:5897-5928): 0.5*mean row-sum so the
+    gradient is sh_data / capacity, matching the in-place kernel."""
+    return 0.5 * jnp.sum(grid.sh_data**2) / grid.sh_data.shape[0]
+
+
+def background_tv_loss(
+    grid: SparseGrid,
+    cells_bg: jnp.ndarray,
+    scaling: float,
+    scaling_density: Optional[float] = None,
+):
+    """TV over the MSI background (msi_tv_grad_sparse, loss_kernel.cu:980;
+    inplace_tv_background_grad svox2.py:5930-5957): sampled (link, layer)
+    cells diffed to +u (wrapping), +v and +layer neighbors; color channels
+    scaled by ``scaling``, the density channel by ``scaling_density``."""
+    if grid.background_data is None:
+        return 0.0
+    if scaling_density is None:
+        scaling_density = scaling
+    links = grid.background_links  # (2R, R)
+    data = grid.background_data  # (n_links, nlayers, 4)
+    W, H = links.shape
+    nlayers = data.shape[1]
+    # decompose flat cell id -> (u, v, layer)
+    layer = cells_bg % nlayers
+    uv = cells_bg // nlayers
+    v = uv % H
+    u = (uv // H) % W
+    l0 = jnp.take(links.reshape(-1), u * H + v)
+    lu = jnp.take(links.reshape(-1), ((u + 1) % W) * H + v)
+    lv_ = jnp.take(links.reshape(-1), u * H + jnp.minimum(v + 1, H - 1))
+
+    def fetch(l, lay):
+        safe = jnp.clip(l, 0, data.shape[0] - 1)
+        rows = jnp.take(data, safe, axis=0)  # (n, nlayers, 4)
+        val = jnp.take_along_axis(rows, lay[:, None, None], axis=1)[:, 0]
+        return val * (l >= 0)[:, None].astype(data.dtype)
+
+    v0 = fetch(l0, layer)
+    du = jnp.where((lu >= 0)[:, None], fetch(lu, layer) - v0, 0.0)
+    dv = jnp.where((lv_ >= 0)[:, None], fetch(lv_, layer) - v0, 0.0)
+    layer_n = jnp.minimum(layer + 1, nlayers - 1)
+    dl = fetch(l0, layer_n) - v0
+    tv = jnp.sqrt(1e-5 + du**2 + dv**2 + dl**2)  # (n, 4)
+    per_cell = scaling * tv[:, :3].sum(-1) + scaling_density * tv[:, 3]
+    ok = (l0 >= 0).astype(tv.dtype)
+    return jnp.mean(per_cell * ok)
+
+
+def basis_tv_loss(grid: SparseGrid):
+    """TV on the learned 3D-texture basis
+    (inplace_tv_basis_grad, svox2.py:5959-5970) — dense, autograd in the
+    reference too."""
+    if grid.basis_data is None:
+        return 0.0
+    bd = grid.basis_data
+    return jnp.mean(
+        jnp.sqrt(
+            1e-5
+            + (bd[:-1, :-1, 1:] - bd[:-1, :-1, :-1]) ** 2
+            + (bd[:-1, 1:, :-1] - bd[:-1, :-1, :-1]) ** 2
+            + (bd[1:, :-1, :-1] - bd[:-1, :-1, :-1]) ** 2
+        ).sum(-1)
+    )
+
+
+def lumisphere_tv_loss(
+    grid: SparseGrid,
+    cells: jnp.ndarray,
+    key,
+    dir_factor: float = 1.0,
+    dir_perturb_radians: float = 0.05,
+):
+    """View-dependent color TV (lumisphere_tv_grad_sparse,
+    loss_kernel.cu:1067; inplace_tv_lumisphere_grad svox2.py:5822-5895):
+    evaluate each sampled cell's SH color along one random direction, TV to
+    the +x/+y/+z neighbors' colors along the same direction, plus an
+    angular term against a slightly perturbed direction."""
+    from ..core.sh import eval_sh_bases
+
+    k_dir, k_axis = jax.random.split(key)
+    d = jax.random.normal(k_dir, (3,))
+    d = d / jnp.linalg.norm(d)
+    sh_mult = eval_sh_bases(grid.basis_dim, d[None])[0]  # (bd,)
+    # small-angle perturbation via Rodrigues' formula
+    axis = jax.random.normal(k_axis, (3,))
+    axis = axis / jnp.linalg.norm(axis) * dir_perturb_radians
+    th = jnp.linalg.norm(axis)
+    k = axis / jnp.maximum(th, 1e-12)
+    d_p = (
+        d * jnp.cos(th)
+        + jnp.cross(k, d) * jnp.sin(th)
+        + k * jnp.dot(k, d) * (1 - jnp.cos(th))
+    )
+    sh_mult_u = eval_sh_bases(grid.basis_dim, d_p[None])[0]
+
+    x, y, z = _cells_to_xyz(cells, grid.reso)
+    l0 = _link_at(grid.links, x, y, z)
+    bd = grid.basis_dim
+
+    def color(l, mult):
+        sh = fetch_links(grid.sh_data, l).reshape(-1, 3, bd)
+        return jnp.sum(sh * mult, -1)  # (n, 3)
+
+    c0 = color(l0, sh_mult)
+    loss = jnp.zeros(cells.shape[0])
+    for ln in (
+        _link_at(grid.links, x + 1, y, z),
+        _link_at(grid.links, x, y + 1, z),
+        _link_at(grid.links, x, y, z + 1),
+    ):
+        cn = color(ln, sh_mult)
+        ok = ((l0 >= 0) & (ln >= 0)).astype(c0.dtype)
+        loss = loss + ok * jnp.sqrt(1e-5 + jnp.sum((cn - c0) ** 2, -1))
+    if dir_factor > 0.0:
+        c0_u = color(l0, sh_mult_u)
+        ok0 = (l0 >= 0).astype(c0.dtype)
+        loss = loss + dir_factor * ok0 * jnp.sqrt(
+            1e-5 + jnp.sum((c0_u - c0) ** 2, -1)
+        )
+    return jnp.mean(loss)
+
+
 def surface_eikonal_loss(grid: SparseGrid, cells: jnp.ndarray, target: float = 1.0):
     """Eikonal regularizer |grad| -> target on sampled cells
     (svox2.py:5352 twin; kernel marked NYI in the reference)."""

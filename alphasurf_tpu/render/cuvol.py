@@ -54,14 +54,9 @@ def volume_render_cuvol(
     delta_scale = 1.0 / jnp.linalg.norm(dirs, axis=-1)
     dirs = dirs * delta_scale[..., None]
 
-    from .. import defs as _defs
+    from ..core.sh import eval_basis
 
-    if grid.basis_type == _defs.BASIS_TYPE_3D_TEXTURE and grid.basis_data is not None:
-        from ..core.sh import eval_learned_basis
-
-        sh_mult = eval_learned_basis(grid.basis_data, viewdirs)
-    else:
-        sh_mult = eval_sh_bases(grid.basis_dim, viewdirs)  # (B, bd)
+    sh_mult = eval_basis(grid, viewdirs)  # (B, bd)
 
     # cuvol bounds convention: sample-centered planes at -0.5 / gsz-0.5
     # (svox2.py:1239-1248)

@@ -484,12 +484,9 @@ def _prep(grid, rays, opt):
         grid, rays.origins, rays.dirs
     )
     tnear, tmax = dda.ray_bounds(grid, origins, dirs)
-    if grid.basis_type == defs.BASIS_TYPE_3D_TEXTURE and grid.basis_data is not None:
-        from ..core.sh import eval_learned_basis
+    from ..core.sh import eval_basis
 
-        sh_mult = eval_learned_basis(grid.basis_data, viewdirs)
-    else:
-        sh_mult = eval_sh_bases(grid.basis_dim, viewdirs)
+    sh_mult = eval_basis(grid, viewdirs)
     near_grid_t = opt.near_clip * jnp.mean(grid.scaling * grid.gsz)
     ray_ok = jnp.isfinite(tnear) & jnp.isfinite(tmax) & (tnear <= tmax)
     return origins, dirs, sh_mult, tnear, tmax, near_grid_t, ray_ok, delta_scale

@@ -58,6 +58,17 @@ class HParams(NamedTuple):
     lambda_fs_std_l1: jnp.ndarray = 0.0
     lambda_fs_std_l2: jnp.ndarray = 0.0
     surface_unfrozen: jnp.ndarray = 1.0  # 0 during surface_init_freeze
+    # extended regularizers / auxiliary param groups
+    lr_basis: jnp.ndarray = 0.0
+    lr_background: jnp.ndarray = 0.0
+    lambda_tv_background: jnp.ndarray = 0.0
+    lambda_tv_background_density: jnp.ndarray = 0.0
+    lambda_tv_basis: jnp.ndarray = 0.0
+    lambda_l2_color: jnp.ndarray = 0.0
+    lambda_norm_match: jnp.ndarray = 0.0
+    lambda_viscosity: jnp.ndarray = 0.0
+    lambda_sign_change: jnp.ndarray = 0.0
+    lambda_tv_lumisphere: jnp.ndarray = 0.0
 
 
 @dataclasses.dataclass(frozen=True)
@@ -79,6 +90,14 @@ class StepConfig:
     sparsify_surf_thresh: float = 0.15
     surf_tv_alpha_weighted: bool = False
     rms_beta: float = 0.95
+    bg_sparsity: float = 0.01
+    lumisphere_sparsity: float = 0.01
+    viscosity_eta: float = 1e-2
+    # which extended regularizers to trace in (0-lambda still costs compile)
+    use_norm_match: bool = False
+    use_viscosity: bool = False
+    use_sign_change: bool = False
+    use_lumisphere_tv: bool = False
     use_two_pass_losses: bool = False  # enable cache-based conv/samp losses
     compact: bool = True  # occupancy-compacted traversal (production path)
     max_intersect_voxels: int = 64  # K for the compacted path
@@ -94,7 +113,82 @@ def init_rms(grid: SparseGrid) -> dict:
         rms["surface"] = rmsprop_init(grid.surface_data)
     if grid.fake_sample_std is not None:
         rms["fake_sample_std"] = rmsprop_init(grid.fake_sample_std)
+    if grid.basis_data is not None:
+        rms["basis_data"] = rmsprop_init(grid.basis_data)
+    if grid.basis_mlp is not None:
+        rms["basis_mlp"] = jax.tree.map(rmsprop_init, grid.basis_mlp)
+    if grid.background_data is not None:
+        rms["background"] = rmsprop_init(grid.background_data)
     return rms
+
+
+def _aux_params(grid: SparseGrid, rms: dict) -> dict:
+    """Optional trainable groups (learned basis / MSI background), present
+    only when both the grid field and its rms state exist (the analog of
+    optim_basis_step / optim_background_step, svox2.py:6108-6206)."""
+    aux = {}
+    if grid.basis_data is not None and "basis_data" in rms:
+        aux["basis_data"] = grid.basis_data
+    if grid.basis_mlp is not None and "basis_mlp" in rms:
+        aux["basis_mlp"] = grid.basis_mlp
+    if grid.background_data is not None and "background" in rms:
+        aux["background"] = grid.background_data
+    return aux
+
+
+def _apply_aux(grid: SparseGrid, aux: dict) -> SparseGrid:
+    if "basis_data" in aux:
+        grid = grid.replace(basis_data=aux["basis_data"])
+    if "basis_mlp" in aux:
+        grid = grid.replace(basis_mlp=aux["basis_mlp"])
+    if "background" in aux:
+        grid = grid.replace(background_data=aux["background"])
+    return grid
+
+
+def _aux_reg_losses(g: SparseGrid, hp: HParams, cfg: "StepConfig", keys) -> jnp.ndarray:
+    """Extended regularizers shared by both stages."""
+    k_bg, k_lum, k_aux = keys
+    loss = hp.lambda_l2_color * reg.l2_color_loss(g)
+    if g.basis_data is not None:
+        loss += hp.lambda_tv_basis * reg.basis_tv_loss(g)
+    if g.background_data is not None:
+        n_bg = g.background_links.size * g.background_data.shape[1]
+        cells_bg = jax.random.randint(
+            k_bg, (max(1, int(cfg.bg_sparsity * n_bg)),), 0, n_bg, dtype=jnp.int32
+        )
+        loss += reg.background_tv_loss(
+            g, cells_bg, hp.lambda_tv_background, hp.lambda_tv_background_density
+        )
+    if cfg.use_lumisphere_tv:
+        cells_lum = reg.sample_cells(k_lum, g, cfg.lumisphere_sparsity)
+        loss += hp.lambda_tv_lumisphere * reg.lumisphere_tv_loss(g, cells_lum, k_aux)
+    return loss
+
+
+def _aux_optim(aux, aux_grads, rms: dict, hp: HParams, beta: float):
+    """RMSprop over the optional groups; returns (new_aux, rms updates)."""
+    new_aux, upd = {}, {}
+    if "basis_data" in aux:
+        new_aux["basis_data"], upd["basis_data"] = rmsprop_step(
+            aux["basis_data"], rms["basis_data"], aux_grads["basis_data"],
+            hp.lr_basis, beta,
+        )
+    if "basis_mlp" in aux:
+        new_mlp, upd_mlp = {}, {}
+        for k in aux["basis_mlp"]:
+            new_mlp[k], upd_mlp[k] = rmsprop_step(
+                aux["basis_mlp"][k], rms["basis_mlp"][k],
+                aux_grads["basis_mlp"][k], hp.lr_basis, beta,
+            )
+        new_aux["basis_mlp"] = new_mlp
+        upd["basis_mlp"] = upd_mlp
+    if "background" in aux:
+        new_aux["background"], upd["background"] = rmsprop_step(
+            aux["background"], rms["background"], aux_grads["background"],
+            hp.lr_background, beta,
+        )
+    return new_aux, upd
 
 
 def make_surface_step(cfg: StepConfig):
@@ -102,14 +196,17 @@ def make_surface_step(cfg: StepConfig):
 
     @functools.partial(jax.jit, donate_argnums=(0, 1))
     def step(grid: SparseGrid, rms: dict, rays: Rays, rgb_gt, hp: HParams, key):
-        k_tv, k_tvsh, k_tvsurf, k_norm, k_sp = jax.random.split(key, 5)
+        k_tv, k_tvsh, k_tvsurf, k_norm, k_sp, k_ext, k_bg, k_lum, k_aux = (
+            jax.random.split(key, 9)
+        )
 
         train_fss = grid.fake_sample_std is not None and "fake_sample_std" in rms
 
-        def loss_fn(density, sh, surface, fss):
+        def loss_fn(density, sh, surface, fss, aux):
             g = grid.replace(density_data=density, sh_data=sh, surface_data=surface)
             if train_fss:
                 g = g.replace(fake_sample_std=fss)
+            g = _apply_aux(g, aux)
             cache = cfg.cache_size if cfg.use_two_pass_losses else None
             if cfg.compact:
                 out = volume_render_surface_compact(
@@ -161,16 +258,30 @@ def make_surface_step(cfg: StepConfig):
             )
             loss += hp.lambda_eikonal * reg.surface_eikonal_loss(g, cells_n)
 
+            # extended surface regularizers (traced in only when enabled)
+            if cfg.use_norm_match:
+                loss += hp.lambda_norm_match * reg.surface_norm_match_loss(g, cells_n)
+            if cfg.use_viscosity:
+                h = 2.0 * jnp.mean(g.radius) / jnp.mean(g.gsz)
+                loss += hp.lambda_viscosity * reg.surface_viscosity_loss(
+                    g, cells_n, eta=cfg.viscosity_eta, h=h
+                )
+            if cfg.use_sign_change:
+                cells_sc = reg.sample_cells(k_ext, g, cfg.norm_surface_sparsity)
+                loss += hp.lambda_sign_change * reg.surface_sign_change_loss(g, cells_sc)
+            loss += _aux_reg_losses(g, hp, cfg, (k_bg, k_lum, k_aux))
+
             if train_fss:
                 # L1/L2 reg on fake_sample_std (svox2.py:6073-6075)
                 loss += hp.lambda_fs_std_l2 * jnp.sum(fss**2) + hp.lambda_fs_std_l1 * jnp.sum(jnp.abs(fss))
             return loss, mse
 
         fss_in = grid.fake_sample_std if train_fss else jnp.zeros((1, 1), grid.density_data.dtype)
-        (loss, mse), grads = jax.value_and_grad(loss_fn, argnums=(0, 1, 2, 3), has_aux=True)(
-            grid.density_data, grid.sh_data, grid.surface_data, fss_in
-        )
-        g_density, g_sh, g_surface, g_fss = grads
+        aux_in = _aux_params(grid, rms)
+        (loss, mse), grads = jax.value_and_grad(
+            loss_fn, argnums=(0, 1, 2, 3, 4), has_aux=True
+        )(grid.density_data, grid.sh_data, grid.surface_data, fss_in, aux_in)
+        g_density, g_sh, g_surface, g_fss, g_aux = grads
 
         beta = cfg.rms_beta
         new_density, rms_d = rmsprop_step(
@@ -198,6 +309,10 @@ def make_surface_step(cfg: StepConfig):
             new_grid = new_grid.replace(fake_sample_std=new_fss)
             new_rms["fake_sample_std"] = rms_f
 
+        new_aux, rms_aux = _aux_optim(aux_in, g_aux, rms, hp, beta)
+        new_grid = _apply_aux(new_grid, new_aux)
+        new_rms.update(rms_aux)
+
         stats = {"loss": loss, "mse": mse}
         return new_grid, new_rms, stats
 
@@ -209,10 +324,11 @@ def make_cuvol_step(cfg: StepConfig):
 
     @functools.partial(jax.jit, donate_argnums=(0, 1))
     def step(grid: SparseGrid, rms: dict, rays: Rays, rgb_gt, hp: HParams, key):
-        k_tv, k_tvsh = jax.random.split(key)
+        k_tv, k_tvsh, k_bg, k_lum, k_aux = jax.random.split(key, 5)
 
-        def loss_fn(density, sh):
+        def loss_fn(density, sh, aux):
             g = grid.replace(density_data=density, sh_data=sh)
+            g = _apply_aux(g, aux)
             out = volume_render_cuvol(g, rays, cfg.opt, max_steps=cfg.max_steps)
             mse = jnp.mean((out["rgb"] - rgb_gt) ** 2)
             loss = mse
@@ -220,11 +336,13 @@ def make_cuvol_step(cfg: StepConfig):
             loss += hp.lambda_tv * reg.tv_loss(g, density, cells_tv)
             cells_tvsh = reg.sample_cells(k_tvsh, g, cfg.tv_sh_sparsity)
             loss += hp.lambda_tv_sh * reg.tv_loss(g, sh, cells_tvsh)
+            loss += _aux_reg_losses(g, hp, cfg, (k_bg, k_lum, k_aux))
             return loss, mse
 
-        (loss, mse), (g_density, g_sh) = jax.value_and_grad(
-            loss_fn, argnums=(0, 1), has_aux=True
-        )(grid.density_data, grid.sh_data)
+        aux_in = _aux_params(grid, rms)
+        (loss, mse), (g_density, g_sh, g_aux) = jax.value_and_grad(
+            loss_fn, argnums=(0, 1, 2), has_aux=True
+        )(grid.density_data, grid.sh_data, aux_in)
 
         new_density, rms_d = rmsprop_step(
             grid.density_data, rms["density"], g_density, hp.lr_sigma, cfg.rms_beta
@@ -235,6 +353,9 @@ def make_cuvol_step(cfg: StepConfig):
         new_grid = grid.replace(density_data=new_density, sh_data=new_sh)
         new_rms = dict(rms)
         new_rms.update({"density": rms_d, "sh": rms_sh})
+        new_aux, rms_aux = _aux_optim(aux_in, g_aux, rms, hp, cfg.rms_beta)
+        new_grid = _apply_aux(new_grid, new_aux)
+        new_rms.update(rms_aux)
         return new_grid, new_rms, {"loss": loss, "mse": mse}
 
     return step

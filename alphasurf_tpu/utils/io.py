@@ -39,6 +39,9 @@ def save_grid(grid: SparseGrid, path: str, step_id: int = 0, compress: bool = Fa
         data["background_data"] = np.asarray(grid.background_data, np.float32)
     if grid.basis_data is not None:
         data["basis_data"] = np.asarray(grid.basis_data, np.float32)
+    if grid.basis_mlp is not None:
+        for k, v in grid.basis_mlp.items():
+            data[f"basis_mlp.{k}"] = np.asarray(v, np.float32)
     save_fn(path, **data)
 
 
@@ -64,6 +67,13 @@ def load_grid(path: str, dtype=jnp.float32) -> tuple[SparseGrid, int]:
         bg_data = jnp.asarray(z["background_data"].astype(np.float32), dtype)
     if "basis_data" in z and z["basis_data"].size:
         basis_data = jnp.asarray(z["basis_data"].astype(np.float32), dtype)
+    basis_mlp = None
+    mlp_keys = [k for k in z.files if k.startswith("basis_mlp.")]
+    if mlp_keys:
+        basis_mlp = {
+            k.split(".", 1)[1]: jnp.asarray(z[k].astype(np.float32), dtype)
+            for k in mlp_keys
+        }
     radius = z["radius"] if "radius" in z else np.ones(3, np.float32)
     center = z["center"] if "center" in z else np.zeros(3, np.float32)
     grid = SparseGrid(
@@ -79,6 +89,7 @@ def load_grid(path: str, dtype=jnp.float32) -> tuple[SparseGrid, int]:
         background_links=bg_links,
         background_data=bg_data,
         basis_data=basis_data,
+        basis_mlp=basis_mlp,
         basis_dim=sh_data.shape[1] // 3,
         surface_type=surface_type,
         basis_type=int(z["basis_type"]) if "basis_type" in z else defs.BASIS_TYPE_SH,

@@ -1,0 +1,187 @@
+"""Extended regularizers vs the reference's Python gradcheck twins, and
+learned-basis (3D texture / MLP) machinery."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import alphasurf_tpu as at
+from alphasurf_tpu import defs
+from alphasurf_tpu.core import sh as shmod
+from alphasurf_tpu.losses import reg
+from ref_oracle import grid_to_jax, make_ref_grid
+
+
+def _cells(g, n=64, seed=0):
+    rng = np.random.default_rng(seed)
+    total = int(np.prod(g.links.shape))
+    return rng.integers(0, total, n).astype(np.int64)
+
+
+def test_norm_match_matches_twin():
+    import torch
+
+    g = make_ref_grid(reso=8, seed=3, prune_frac=0.2)
+    gj = grid_to_jax(g, jnp.float64)
+    cells = _cells(g, seed=4)
+    for p in (g.density_data, g.surface_data):
+        p.grad = None
+    ref_loss = g._surface_norm_match_loss_grad_check(
+        torch.from_numpy(cells), 1.0, device="cpu"
+    )
+    ref_gs = g.surface_data.grad.numpy().copy()
+    ref_gd = g.density_data.grad.numpy().copy()
+
+    def loss_fn(surf, dens):
+        return reg.surface_norm_match_loss(
+            gj.replace(surface_data=surf, density_data=dens),
+            jnp.asarray(cells, jnp.int32),
+        )
+
+    val, grads = jax.value_and_grad(loss_fn, argnums=(0, 1))(
+        gj.surface_data, gj.density_data
+    )
+    np.testing.assert_allclose(float(val), float(ref_loss), rtol=1e-5)
+    # the reference twin emits NaN grads at exactly-zero gradient vectors
+    # (torch sqrt(0) backward); ours are clean zeros there — compare only
+    # where the reference is finite, and require ours finite everywhere.
+    for ours, theirs in ((grads[0], ref_gs), (grads[1], ref_gd)):
+        ours = np.asarray(ours)
+        assert np.isfinite(ours).all()
+        m = np.isfinite(theirs)
+        np.testing.assert_allclose(ours[m], theirs[m], rtol=1e-4, atol=1e-6)
+
+
+def test_viscosity_matches_twin():
+    import torch
+
+    g = make_ref_grid(reso=8, seed=5, prune_frac=0.1)
+    gj = grid_to_jax(g, jnp.float64)
+    cells = _cells(g, seed=6)
+    g.surface_data.grad = None
+    ref_loss, _ = g._surface_viscosity_loss_grad_check(
+        torch.from_numpy(cells), 1.0, device="cpu", eta=1e-2
+    )
+    ref_gs = g.surface_data.grad.numpy().copy()
+    h = float(g._get_h().mean()) if hasattr(g, "_get_h") else 0.25
+
+    def loss_fn(surf):
+        return reg.surface_viscosity_loss(
+            gj.replace(surface_data=surf), jnp.asarray(cells, jnp.int32),
+            eta=1e-2, h=h,
+        )
+
+    val, grad = jax.value_and_grad(loss_fn)(gj.surface_data)
+    np.testing.assert_allclose(float(val), float(ref_loss), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(grad), ref_gs, rtol=1e-4, atol=1e-6)
+
+
+def test_sign_change_matches_twin():
+    import torch
+
+    g = make_ref_grid(reso=8, seed=7, prune_frac=0.15)
+    gj = grid_to_jax(g, jnp.float64)
+    cells = _cells(g, seed=8)
+    g.surface_data.grad = None
+    ref_loss = g._surface_sign_change_grad_check(
+        torch.from_numpy(cells), 1.0, device="cpu"
+    )
+    ref_gs = g.surface_data.grad.numpy().copy()
+
+    def loss_fn(surf):
+        return reg.surface_sign_change_loss(
+            gj.replace(surface_data=surf), jnp.asarray(cells, jnp.int32)
+        )
+
+    val, grad = jax.value_and_grad(loss_fn)(gj.surface_data)
+    np.testing.assert_allclose(float(val), float(ref_loss), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(grad), ref_gs, rtol=1e-4, atol=1e-6)
+
+
+def test_basis_tv_matches_reference_formula():
+    import torch
+
+    rng = np.random.default_rng(0)
+    bd_np = rng.standard_normal((6, 6, 6, 4)).astype(np.float32)
+    bd = torch.tensor(bd_np, requires_grad=True)
+    tv_val = torch.mean(
+        torch.sqrt(
+            1e-5
+            + (bd[:-1, :-1, 1:] - bd[:-1, :-1, :-1]) ** 2
+            + (bd[:-1, 1:, :-1] - bd[:-1, :-1, :-1]) ** 2
+            + (bd[1:, :-1, :-1] - bd[:-1, :-1, :-1]) ** 2
+        ).sum(dim=-1)
+    )
+    tv_val.backward()
+    gj = at.create_grid(reso=4, basis_dim=4)
+    gj = gj.replace(basis_data=jnp.asarray(bd_np))
+    val, grad = jax.value_and_grad(
+        lambda b: reg.basis_tv_loss(gj.replace(basis_data=b))
+    )(gj.basis_data)
+    np.testing.assert_allclose(float(val), float(tv_val), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(grad), bd.grad.numpy(), rtol=1e-4, atol=1e-6)
+
+
+def test_l2_color_loss_grad_is_sh_over_capacity():
+    gj = at.create_grid(reso=4, basis_dim=4)
+    key = jax.random.PRNGKey(0)
+    sh_data = jax.random.normal(key, gj.sh_data.shape)
+    gj = gj.replace(sh_data=sh_data)
+    grad = jax.grad(lambda s: reg.l2_color_loss(gj.replace(sh_data=s)))(sh_data)
+    np.testing.assert_allclose(
+        np.asarray(grad), np.asarray(sh_data) / sh_data.shape[0], rtol=1e-6
+    )
+
+
+def test_reinit_learned_bases_sh_matches_analytic():
+    tex = shmod.reinit_learned_bases(32, 9, init_type="sh")
+    assert tex.shape == (32, 32, 32, 9)
+    # evaluating the texture at directions should approximate analytic SH
+    dirs = np.array([[0.0, 0.0, 1.0], [0.577, 0.577, 0.577]], np.float32)
+    approx = shmod.eval_learned_basis(tex, jnp.asarray(dirs))
+    exact = shmod.eval_sh_bases(9, jnp.asarray(dirs))
+    np.testing.assert_allclose(np.asarray(approx), np.asarray(exact), atol=0.12)
+    # other inits produce finite textures
+    for t in ("sg", "fourier"):
+        v = shmod.reinit_learned_bases(8, 6, init_type=t)
+        assert np.isfinite(np.asarray(v)).all()
+
+
+def test_mlp_basis_eval_and_dispatch():
+    key = jax.random.PRNGKey(0)
+    params = shmod.init_basis_mlp(key, basis_dim=9)
+    dirs = jax.random.normal(key, (16, 3))
+    dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
+    out = shmod.eval_basis_mlp(params, dirs)
+    assert out.shape == (16, 9)
+    assert np.isfinite(np.asarray(out)).all()
+    # grad flows to all MLP params
+    g = jax.grad(lambda p: jnp.sum(shmod.eval_basis_mlp(p, dirs) ** 2))(params)
+    for k, v in g.items():
+        assert np.abs(np.asarray(v)).sum() > 0, k
+    # dispatch through a grid
+    grid = at.create_grid(reso=4, basis_dim=9)
+    grid = grid.replace(basis_mlp=params)
+    grid = grid.replace_meta(basis_type=defs.BASIS_TYPE_MLP) if hasattr(
+        grid, "replace_meta"
+    ) else grid.replace(basis_type=defs.BASIS_TYPE_MLP)
+    got = shmod.eval_basis(grid, dirs)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(out), rtol=1e-6)
+
+
+def test_mlp_basis_ckpt_roundtrip(tmp_path):
+    from alphasurf_tpu.utils.io import load_grid, save_grid
+
+    key = jax.random.PRNGKey(1)
+    grid = at.create_grid(reso=4, basis_dim=9)
+    grid = grid.replace(
+        basis_mlp=shmod.init_basis_mlp(key, 9), basis_type=defs.BASIS_TYPE_MLP
+    )
+    p = str(tmp_path / "ck.npz")
+    save_grid(grid, p, step_id=7)
+    g2, step = load_grid(p)
+    assert step == 7
+    assert g2.basis_type == defs.BASIS_TYPE_MLP
+    for k in grid.basis_mlp:
+        np.testing.assert_allclose(
+            np.asarray(g2.basis_mlp[k]), np.asarray(grid.basis_mlp[k]), rtol=1e-6
+        )
