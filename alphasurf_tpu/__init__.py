@@ -10,6 +10,7 @@ from .core.grid import SparseGrid, create_grid
 from .core.options import RenderOptions
 from .core.rays import Camera, Rays
 from .core.sh import eval_sh_bases
+from .render.compat import volume_render, volume_render_nvol, volume_render_svox1
 from .render.cuvol import volume_render_cuvol
 from .render.surface import volume_render_surface, volume_render_surface_compact
 
@@ -23,7 +24,10 @@ __all__ = [
     "Camera",
     "Rays",
     "eval_sh_bases",
+    "volume_render",
     "volume_render_cuvol",
+    "volume_render_nvol",
+    "volume_render_svox1",
     "volume_render_surface",
     "volume_render_surface_compact",
 ]

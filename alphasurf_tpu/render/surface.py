@@ -119,6 +119,8 @@ def _init_state(B, dtype, cache_size, ray_ok):
         "rgb": jnp.zeros((B, 3), dtype),
         "depth": zb,
         "normal": jnp.zeros((B, 3), dtype),
+        "wmax": zb,  # mode-depth tracking (trace_ray_mode_term_surf_trav)
+        "t_mode": zb,
         "cnt": jnp.zeros(B, jnp.int32),
         "alive": ray_ok,
         "acc": acc,
@@ -353,6 +355,14 @@ def _voxel_pass(
     normal_acc = normal_acc + jnp.sum(weight_s[..., None] * snorm_s, axis=1)
     log_T = log_T + jnp.sum(log_att, axis=1)
 
+    # mode depth: t of the globally max-weight sample
+    # (trace_ray_mode_term_surf_trav, surf_trav.cu:796-1003)
+    w_best = jnp.max(weight_s, axis=1)
+    t_best = jnp.take_along_axis(t_s, jnp.argmax(weight_s, axis=1)[:, None], 1)[:, 0]
+    upd_mode = w_best > state["wmax"]
+    wmax_new = jnp.where(upd_mode, w_best, state["wmax"])
+    t_mode_new = jnp.where(upd_mode, t_best, state["t_mode"])
+
     # ---- streaming losses, vectorized with within-step exclusive prefixes --
     if opt.fake_sample_l_dist:
         inc = contrib
@@ -414,6 +424,8 @@ def _voxel_pass(
         "rgb": rgb_acc,
         "depth": depth_acc,
         "normal": normal_acc,
+        "wmax": wmax_new,
+        "t_mode": t_mode_new,
         "cnt": cnt,
         "alive": alive,
         "acc": acc,
@@ -446,7 +458,9 @@ def _finalize(grid, opt, state, cache_size, samples_ys=None, bg_rays=None):
     out = {
         "rgb": rgb_out,
         "depth": state["depth"],
+        "depth_mode": state["t_mode"],
         "normal": state["normal"],
+        "alpha": 1.0 - jnp.exp(state["log_T"]),  # trace_ray_alpha
         "log_transmit": log_T,
         "n_intersections": state["cnt"],
         "ray_losses": {
@@ -465,6 +479,18 @@ def _finalize(grid, opt, state, cache_size, samples_ys=None, bg_rays=None):
             "fake_mask": acc["c_fake"],
             "n_cached": acc["n_cached"],
         }
+        # median depth from the first-K sample cache
+        # (trace_ray_med_term semantics: t where cumulative weight crosses
+        # half the total); 0 when no cached sample reaches the target.
+        cw = acc["c_weights"]
+        cum = jnp.cumsum(cw, axis=1)
+        target = 0.5 * cum[:, -1:]
+        crossed = cum >= jnp.maximum(target, 1e-12)
+        idx = jnp.argmax(crossed, axis=1)
+        has = jnp.any(crossed, axis=1) & (cum[:, -1] > 0)
+        out["depth_med"] = jnp.where(
+            has, jnp.take_along_axis(acc["c_ts"], idx[:, None], 1)[:, 0], 0.0
+        )
     if samples_ys is not None:
         def flat(y):
             return jnp.moveaxis(y, 0, 1).reshape(B, -1)
