@@ -149,6 +149,12 @@ class Config:
     lambda_normal_loss_l1: float = 0.0
     lambda_normal_loss_l2: float = 0.0
     surf_normal_loss_lambda_type: str = "const"
+    lambda_normal_loss_l1_final: float = 0.0
+    lambda_normal_loss_l1_delay_steps: float = 0.0
+    lambda_normal_loss_l1_decay_steps: float = 0.0
+    lambda_normal_loss_l2_final: float = 0.0
+    lambda_normal_loss_l2_delay_steps: float = 0.0
+    lambda_normal_loss_l2_decay_steps: float = 0.0
     no_surf_norm_con_check: bool = False
     surf_norm_reg_ignore_empty: bool = False
     surf_norm_reg_l1: bool = False
@@ -171,6 +177,11 @@ class Config:
     sparsify_surf_thresh: float = 0.1
     alpha_surf_sparsify_sparsity: float = 0.01
     surf_grad_abs_max: Optional[float] = None
+
+    # recompute the voxel-occupancy skip structure every N surface steps
+    # (TPU-native knob: the analog of the reference recomputing its accel
+    # structure only on topology changes, svox2.py:4483-4490; 1 = every step)
+    occ_refresh_every: int = 16
 
     # --- thresholds / upsampling ---
     thresh_type: str = "weight"

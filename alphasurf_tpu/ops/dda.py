@@ -56,6 +56,32 @@ def ray_bounds(grid, origins, dirs, atol=1e-6):
     return tnear, tmax
 
 
+def spheric_bounds(grid, origins, dirs, near_clip):
+    """Concentric-sphere ray clip (use_spheric_clip).
+
+    Mirrors ray_find_bounds (render_util.cuh:661-681): normalize grid coords
+    to [-1, 1], intersect the unit sphere (far root -> tmax) and the
+    (1 - near_clip) sphere (near root -> tmin). Returned t's are in grid
+    t-units (the affine map preserves the ray parameter). Rays that miss
+    either sphere get (tmin, tmax) = (1e-9, 0) i.e. empty.
+    """
+    s = 2.0 / grid.gsz
+    o = (origins + 0.5) * s - 1.0
+    d = dirs * s
+    q2a = 2.0 * jnp.sum(d * d, axis=-1)
+    qb = 2.0 * jnp.sum(o * d, axis=-1)
+    f = qb * qb - 2.0 * q2a * jnp.sum(o * o, axis=-1)
+    det_far = f + 2.0 * q2a
+    det_near = f + 2.0 * q2a * (1.0 - near_clip) ** 2
+    ok = (det_far >= 0) & (det_near >= 0)
+    safe_q = jnp.where(q2a == 0, 1.0, q2a)
+    tmax = (-qb + jnp.sqrt(jnp.clip(det_far, min=0.0))) / safe_q
+    tmin = (-qb - jnp.sqrt(jnp.clip(det_near, min=0.0))) / safe_q
+    tmin = jnp.where(ok, tmin, 1e-9)
+    tmax = jnp.where(ok, tmax, 0.0)
+    return tmin, tmax
+
+
 def next_crossing(origins, dirs, t, atol=_EPS_INT):
     """t of the next axis-plane crossing after ``t``.
 

@@ -60,13 +60,18 @@ def volume_render_cuvol(
 
     # cuvol bounds convention: sample-centered planes at -0.5 / gsz-0.5
     # (svox2.py:1239-1248)
-    safe_dirs = jnp.where(dirs == 0, 1e-12, dirs)
-    t1 = (-0.5 - origins) / safe_dirs
-    t2 = (gsz - 0.5 - origins) / safe_dirs
-    tmin = jnp.where(dirs == 0, -1e9, jnp.minimum(t1, t2))
-    tmin = jnp.clip(jnp.max(tmin, axis=-1), min=opt.near_clip)
-    tmaxs = jnp.where(dirs == 0, 1e9, jnp.maximum(t1, t2))
-    tmax = jnp.min(tmaxs, axis=-1)
+    if opt.use_spheric_clip:
+        from ..ops.dda import spheric_bounds
+
+        tmin, tmax = spheric_bounds(grid, origins, dirs, opt.near_clip)
+    else:
+        safe_dirs = jnp.where(dirs == 0, 1e-12, dirs)
+        t1 = (-0.5 - origins) / safe_dirs
+        t2 = (gsz - 0.5 - origins) / safe_dirs
+        tmin = jnp.where(dirs == 0, -1e9, jnp.minimum(t1, t2))
+        tmin = jnp.clip(jnp.max(tmin, axis=-1), min=opt.near_clip)
+        tmaxs = jnp.where(dirs == 0, 1e9, jnp.maximum(t1, t2))
+        tmax = jnp.min(tmaxs, axis=-1)
 
     B = origins.shape[0]
     reso = grid.reso
@@ -83,7 +88,12 @@ def volume_render_cuvol(
         sigma = trilerp(fetch_links(grid.density_data, links8), frac)[..., 0]
         rgb_sh = trilerp(fetch_links(grid.sh_data, links8), frac)
 
-        log_att = -opt.step_size * jax.nn.relu(sigma) * delta_scale
+        world_step = opt.step_size * delta_scale
+        if opt.last_sample_opaque:
+            # force the final in-bounds sample fully opaque
+            # (render_lerp_kernel_cuvol.cu:86-88: world_step = 1e9)
+            world_step = jnp.where(t + opt.step_size > tmax, 1e9, world_step)
+        log_att = -world_step * jax.nn.relu(sigma)
         log_att = jnp.where(active, log_att, 0.0)
         weight = jnp.exp(log_T) * (1.0 - jnp.exp(log_att))
 

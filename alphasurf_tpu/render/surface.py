@@ -253,8 +253,15 @@ def _voxel_pass(
 
     w8 = trilerp_weights(frac_safe)  # (B, V, S0, 8)
     raw_a = jnp.sum(w8 * alpha8[:, :, None, :], axis=-1)  # (B, V, S0)
+    if opt.no_surf_grad_from_sh:
+        # Cut the color->surface gradient path through the SH interpolation
+        # position (surf_trav.cu:2250-2264 guarded by no_surf_grad_from_sh);
+        # the alpha->position path stays live (:2352-2359 is unconditional).
+        w8_sh = trilerp_weights(jax.lax.stop_gradient(frac_safe))
+    else:
+        w8_sh = w8
     rgb_s = jnp.clip(
-        jnp.sum(w8[..., None] * corner_rgb[:, :, None, :, :], axis=3) + 0.5,
+        jnp.sum(w8_sh[..., None] * corner_rgb[:, :, None, :, :], axis=3) + 0.5,
         min=0.0,
     )  # (B, V, S0, 3)
     contrib = geo_ok & (raw_a > opt.sigma_thresh)
@@ -401,19 +408,28 @@ def _voxel_pass(
     acc["sp_w"] = acc["sp_w"] + jnp.sum(w_sg, 1)
 
     if cache_size is not None:
+        # Bounded first-K sample cache, written as one batched scatter-add
+        # per buffer (the analog of the kernel's l_dist_max_sample ring
+        # buffer, surf_trav.cu:407-414). Per-slot target index = running
+        # count + exclusive prefix of contrib; overflow writes go to the
+        # out-of-bounds column K and are dropped.
         K = cache_size
-        for s in range(contrib.shape[1]):  # V*S is small; cache is optional
-            slot_idx = jnp.clip(acc["n_cached"], 0, K - 1)
-            write = contrib[:, s] & (acc["n_cached"] < K)
-            onehot = (
-                jax.lax.broadcasted_iota(jnp.int32, (B, K), 1) == slot_idx[:, None]
-            ) & write[:, None]
-            ohf = onehot.astype(dtype)
-            acc["c_ts"] = acc["c_ts"] + ohf * t_s[:, s : s + 1]
-            acc["c_alphas"] = acc["c_alphas"] + ohf * alpha_s[:, s : s + 1]
-            acc["c_weights"] = acc["c_weights"] + ohf * weight_s[:, s : s + 1]
-            acc["c_fake"] = acc["c_fake"] | (onehot & fake_s[:, s : s + 1])
-            acc["n_cached"] = acc["n_cached"] + write.astype(jnp.int32)
+        n0 = acc["n_cached"]
+        contrib_i2 = contrib.astype(jnp.int32)
+        idx = n0[:, None] + jnp.cumsum(contrib_i2, axis=1) - contrib_i2
+        ok = contrib & (idx < K)
+        col = jnp.where(ok, idx, K)
+        rows = jax.lax.broadcasted_iota(jnp.int32, col.shape, 0)
+
+        def scat(buf, vals):
+            return buf.at[rows, col].add(jnp.where(ok, vals, 0.0), mode="drop")
+
+        acc["c_ts"] = scat(acc["c_ts"], t_s)
+        acc["c_alphas"] = scat(acc["c_alphas"], alpha_s)
+        acc["c_weights"] = scat(acc["c_weights"], weight_s)
+        fake_f = scat(jnp.zeros((B, K), dtype), fake_s.astype(dtype))
+        acc["c_fake"] = acc["c_fake"] | (fake_f > 0)
+        acc["n_cached"] = (n0 + jnp.sum(ok, axis=1)).astype(jnp.int32)
 
     alive = state["alive"]
     if opt.stop_thresh > 0:
@@ -510,10 +526,19 @@ def _prep(grid, rays, opt):
         grid, rays.origins, rays.dirs
     )
     tnear, tmax = dda.ray_bounds(grid, origins, dirs)
+    if opt.use_spheric_clip:
+        # sphere is inscribed in the lattice box, so intersecting the two
+        # bounds equals the reference's sphere-only clip (render_util.cuh:661)
+        sp_near, sp_max = dda.spheric_bounds(grid, origins, dirs, opt.near_clip)
+        tnear = jnp.maximum(tnear, sp_near)
+        tmax = jnp.minimum(tmax, sp_max)
     from ..core.sh import eval_basis
 
     sh_mult = eval_basis(grid, viewdirs)
-    near_grid_t = opt.near_clip * jnp.mean(grid.scaling * grid.gsz)
+    near_grid_t = (
+        0.0 if opt.use_spheric_clip
+        else opt.near_clip * jnp.mean(grid.scaling * grid.gsz)
+    )
     ray_ok = jnp.isfinite(tnear) & jnp.isfinite(tmax) & (tnear <= tmax)
     return origins, dirs, sh_mult, tnear, tmax, near_grid_t, ray_ok, delta_scale
 
@@ -706,6 +731,7 @@ def volume_render_surface_compact(
     return_samples: bool = False,
     unroll: int = 1,
     voxel_chunk: int = 8,
+    occupancy: jnp.ndarray | None = None,
 ):
     """Occupancy-compacted renderer (production path). Result matches
     ``volume_render_surface`` exactly as long as no ray crosses more than
@@ -714,18 +740,27 @@ def volume_render_surface_compact(
 
     ``voxel_chunk`` voxels are processed per scan step as one wide vector
     pass (gathers hoisted into a single isolated take per chunk); the scan
-    only carries the O(1) compositing state between chunks."""
+    only carries the O(1) compositing state between chunks.
+
+    ``occupancy`` may be passed in precomputed (from ``voxel_occupancy``) to
+    amortize the O(reso^3) recompute across steps / image chunks — the
+    analog of the reference's accel structure being refreshed only on
+    topology changes (svox2.py:4483-4490). Phase A (occupancy + crossing
+    compaction) carries no gradient to any trainable parameter, so it is
+    wrapped in stop_gradient to keep the backward graph small."""
     assert grid.surface_data is not None, "surface grid required"
     (origins, dirs, sh_mult, tnear, tmax, near_grid_t, ray_ok,
      delta_scale) = _prep(grid, rays, opt)
     B = origins.shape[0]
     dtype = origins.dtype
 
-    occ = voxel_occupancy(grid, opt)
+    occ = voxel_occupancy(grid, opt) if occupancy is None else occupancy
+    occ = jax.lax.stop_gradient(occ)
     l_k, close_k, far_k, valid_k, n_occ = compact_crossings(
         grid, origins, dirs, jnp.where(ray_ok, tnear, 0.0),
         jnp.where(ray_ok, tmax, -1.0), occ, max_intersect_voxels,
     )
+    close_k, far_k, valid_k = jax.lax.stop_gradient((close_k, far_k, valid_k))
     packed = pack_grid_data(grid)
 
     K = l_k.shape[1]

@@ -195,7 +195,8 @@ def make_surface_step(cfg: StepConfig):
     """Build the jitted surface-stage train step."""
 
     @functools.partial(jax.jit, donate_argnums=(0, 1))
-    def step(grid: SparseGrid, rms: dict, rays: Rays, rgb_gt, hp: HParams, key):
+    def step(grid: SparseGrid, rms: dict, rays: Rays, rgb_gt, hp: HParams, key,
+             occ=None):
         k_tv, k_tvsh, k_tvsurf, k_norm, k_sp, k_ext, k_bg, k_lum, k_aux = (
             jax.random.split(key, 9)
         )
@@ -214,6 +215,7 @@ def make_surface_step(cfg: StepConfig):
                     max_intersect_voxels=cfg.max_intersect_voxels,
                     cache_size=cache,
                     voxel_chunk=cfg.voxel_chunk,
+                    occupancy=occ,
                 )
             else:
                 out = volume_render_surface(

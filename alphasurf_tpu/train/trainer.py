@@ -47,11 +47,16 @@ class Trainer:
                 self.summary_writer = SummaryWriter(cfg.train_dir)
             except Exception:
                 pass
+        self.log_lines = []
         self._build_grid()
         self._build_schedules()
         self.rms = init_rms(self.grid)
         self._step_fns = {}
-        self.log_lines = []
+        self._occ = None  # cached voxel occupancy (refreshed periodically)
+        self._occ_step = -1
+        from ..render.surface import voxel_occupancy
+
+        self._occ_fn = jax.jit(voxel_occupancy, static_argnums=1)
 
     # ---------------- grid construction ----------------
     def _build_grid(self):
@@ -60,6 +65,28 @@ class Trainer:
         reso0 = cfg.reso[0] if isinstance(cfg.reso[0], (list, tuple)) else cfg.reso
         self.reso_id = 0
         radius = [r * cfg.scene_radius_rescale for r in self.dset.scene_radius]
+
+        resume = path.join(cfg.train_dir, "ckpt.npz")
+        if cfg.load_ckpt and path.isfile(resume):
+            # resume a crashed/interrupted run (opt.py:116-123): restore grid
+            # and step counter; RMS state is lazily re-zeroed exactly like
+            # the reference (svox2.py:5983-5988 — rms is not checkpointed)
+            grid, step_id = load_grid(resume)
+            self.grid = grid
+            self.gstep = int(step_id)
+            self.pretrained_density = False
+            self.target_surface_type = (
+                grid.surface_type
+                if grid.surface_data is not None
+                else surface_type
+            )
+            self.surface_initialized = grid.surface_data is not None
+            for i, r in enumerate(cfg.reso):
+                rr = tuple(r) if isinstance(r, (list, tuple)) else (r,) * 3
+                if rr == tuple(grid.links.shape):
+                    self.reso_id = i
+            self.log(f"[resume] {resume} at step {self.gstep}")
+            return
 
         if cfg.load_pretrain_density_sh:
             # warm start from a Plenoxels checkpoint (opt.py:288-372)
@@ -84,7 +111,9 @@ class Trainer:
                 else defs.SURFACE_TYPE_NONE,
                 surface_init=None,
                 use_sphere_bound=self.dset.use_sphere_bound and not cfg.nosphereinit,
-                init_sigma=cfg.init_sigma,
+                # foreground delayed: density starts at 0 until
+                # lr_fg_begin_step resets it to init_sigma (opt.py:148-150)
+                init_sigma=0.0 if cfg.lr_fg_begin_step > 0 else cfg.init_sigma,
             )
             self.pretrained_density = False
         self.target_surface_type = surface_type
@@ -126,6 +155,21 @@ class Trainer:
             cfg.truncated_vol_render_a_final, cfg.truncated_vol_render_a_delay,
             max_steps=cfg.truncated_vol_render_a_decay_steps,
         )
+        # normal-loss lambda schedule (opt.py:241-247, 713-718)
+        if cfg.surf_normal_loss_lambda_type == "linear":
+            self.lambda_normal_l1_func = linear_lr_func(
+                cfg.lambda_normal_loss_l1, cfg.lambda_normal_loss_l1_final,
+                cfg.lambda_normal_loss_l1_delay_steps,
+                cfg.lambda_normal_loss_l1_decay_steps,
+            )
+            self.lambda_normal_l2_func = linear_lr_func(
+                cfg.lambda_normal_loss_l2, cfg.lambda_normal_loss_l2_final,
+                cfg.lambda_normal_loss_l2_delay_steps,
+                cfg.lambda_normal_loss_l2_decay_steps,
+            )
+        else:
+            self.lambda_normal_l1_func = lambda _: cfg.lambda_normal_loss_l1
+            self.lambda_normal_l2_func = lambda _: cfg.lambda_normal_loss_l2
 
     # ---------------- per-stage jitted steps ----------------
     def _get_step(self, kind: str, no_surface: bool):
@@ -166,9 +210,11 @@ class Trainer:
         frozen = self.surface_initialized and (
             g < cfg.surface_init_freeze + cfg.no_surface_init_iters
         )
+        # density optimization gated until lr_fg_begin_step (opt.py:1118)
+        fg_on = g >= cfg.lr_fg_begin_step
         return HParams(
-            lr_sigma=self.lr_sigma_func(g),
-            lr_alpha=self.lr_alpha_func(g),
+            lr_sigma=self.lr_sigma_func(g) if fg_on else 0.0,
+            lr_alpha=self.lr_alpha_func(g) if fg_on else 0.0,
             lr_surface=self.lr_surface_func(g),
             lr_sh=lr_sh,
             lr_fake_sample_std=self.lr_fss_func(g),
@@ -177,8 +223,8 @@ class Trainer:
             lambda_tv_sh=cfg.lambda_tv_sh,
             lambda_tv_alpha=cfg.lambda_tv_alpha,
             lambda_tv_surface=cfg.lambda_tv_surface,
-            lambda_normal_l1=cfg.lambda_normal_loss_l1,
-            lambda_normal_l2=cfg.lambda_normal_loss_l2,
+            lambda_normal_l1=self.lambda_normal_l1_func(g),
+            lambda_normal_l2=self.lambda_normal_l2_func(g),
             lambda_sparsify_alpha=cfg.lambda_sparsify_alpha
             if g > cfg.delay_sparsify_alpha else 0.0,
             lambda_sparsify_surf=cfg.lambda_sparsify_surf
@@ -218,6 +264,7 @@ class Trainer:
         self.grid = self.grid.replace(surface_type=self.target_surface_type)
         self.surface_initialized = True
         self.rms = init_rms(self.grid)
+        self._occ = None
 
     def maybe_upsample(self):
         cfg = self.cfg
@@ -233,6 +280,22 @@ class Trainer:
                     density_data=self.grid.density_data + cfg.upsample_density_add
                 )
             self.rms = init_rms(self.grid)
+            self._occ = None
+
+    def _get_occ(self, no_surface: bool):
+        """Voxel-occupancy skip structure, recomputed (in its own jit, so the
+        train step's program stays small) every occ_refresh_every steps or on
+        topology change."""
+        cfg = self.cfg
+        if (
+            self._occ is None
+            or self.gstep - self._occ_step >= max(1, cfg.occ_refresh_every)
+            or self._occ.shape != tuple(r - 1 for r in self.grid.reso)
+        ):
+            opt = render_options_from(cfg, no_surface=no_surface)
+            self._occ = self._occ_fn(self.grid, opt)
+            self._occ_step = self.gstep
+        return self._occ
 
     # ---------------- core loop ----------------
     def log(self, msg):
@@ -258,6 +321,13 @@ class Trainer:
             no_surface = (not self.surface_initialized) or (
                 self.gstep < cfg.no_surface_init_iters
             )
+            if cfg.lr_fg_begin_step > 0 and self.gstep == cfg.lr_fg_begin_step:
+                # foreground begins training now (opt.py:691-692)
+                self.grid = self.grid.replace(
+                    density_data=jnp.full_like(
+                        self.grid.density_data, cfg.init_sigma
+                    )
+                )
             if (
                 self.gstep == cfg.no_surface_init_iters
                 and cfg.no_surface_init_iters > 0
@@ -297,9 +367,15 @@ class Trainer:
                 jnp.asarray(batch.origins), jnp.asarray(batch.dirs),
                 None if batch.mask is None else jnp.asarray(batch.mask),
             )
-            self.grid, self.rms, stats = step_fn(
-                self.grid, self.rms, rays, jnp.asarray(batch.gt), hp, sub
-            )
+            if kind == "surface":
+                self.grid, self.rms, stats = step_fn(
+                    self.grid, self.rms, rays, jnp.asarray(batch.gt), hp, sub,
+                    occ=self._get_occ(no_surface),
+                )
+            else:
+                self.grid, self.rms, stats = step_fn(
+                    self.grid, self.rms, rays, jnp.asarray(batch.gt), hp, sub
+                )
             mse = float(stats["mse"])
             stats_acc["mse"] += mse
             stats_acc["n"] += 1

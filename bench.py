@@ -131,6 +131,9 @@ def main():
     )
     cfg = StepConfig(opt=opt, cache_size=None, max_intersect_voxels=K)
     step = make_surface_step(cfg)
+    from alphasurf_tpu.render.surface import voxel_occupancy
+
+    occ_fn = jax.jit(voxel_occupancy, static_argnums=1)
     rms = init_rms(grid)
     hp = HParams(
         lr_alpha=1e-3, lr_surface=1e-5, lr_sh=1e-3,
@@ -140,13 +143,19 @@ def main():
     key = jax.random.PRNGKey(0)
     gt = jnp.full((batch, 3), 0.5, jnp.float32)
 
+    occ_state = {"occ": occ_fn(grid, opt)}
+
     def run_batch(grid, rms, i):
+        # refresh the occupancy skip structure every 16 steps, as a real
+        # training loop would (trainer occ_refresh_every)
+        if i > 0 and i % 16 == 0:
+            occ_state["occ"] = occ_fn(grid, opt)
         s = (i * batch) % (n_rays - batch)
         r = at.Rays(
             jax.lax.dynamic_slice_in_dim(origins, s, batch),
             jax.lax.dynamic_slice_in_dim(dirs, s, batch),
         )
-        return step(grid, rms, r, gt, hp, key)
+        return step(grid, rms, r, gt, hp, key, occ=occ_state["occ"])
 
     t0 = time.time()
     g, r, stats = run_batch(grid, rms, 0)
