@@ -190,6 +190,9 @@ class Config:
     alpha_upsample_thresh: float = 1e-8
     max_grid_elements: int = 44_000_000
     upsample_density_add: float = 0.0
+    surf_non_expand: bool = False
+    tv_early_only: int = 1
+    tv_decay: float = 1.0
 
     # --- logging / eval ---
     print_every: int = 20

@@ -180,8 +180,12 @@ def create_grid(
     surface_data = None
     level_set_data = None
     if surface_type != defs.SURFACE_TYPE_NONE:
-        level_set_data = jnp.array([0.0], dtype=dtype)
-        surface_data = _init_surface(reso, links, capacity, surface_init, dtype)
+        surface_data, level_set_data = _init_surface(
+            reso, links, capacity, surface_init, surface_type, dtype
+        )
+        if surface_type == defs.SURFACE_TYPE_UDF_ALPHA:
+            # one alpha per level set instead of per vertex (svox2.py:950-953)
+            density_data = jnp.zeros((level_set_data.shape[0], 1), dtype=dtype)
 
     fake_sample_std = None
     if trainable_fake_sample_std:
@@ -202,10 +206,11 @@ def create_grid(
     )
 
 
-def _init_surface(reso, links, capacity, surface_init, dtype):
-    """SDF initializers, mirroring ctor branches svox2.py:770-961."""
-    if surface_init is None:
-        return jnp.zeros((capacity, 1), dtype=dtype)
+def _init_surface(reso, links, capacity, surface_init, surface_type, dtype):
+    """Surface initializers, mirroring the ctor branches svox2.py:770-961.
+
+    :return: (surface_data (cap, C), level_set_data (n_lv,))
+    """
     coords = np.stack(
         np.meshgrid(
             np.arange(reso[0]), np.arange(reso[1]), np.arange(reso[2]),
@@ -215,24 +220,97 @@ def _init_surface(reso, links, capacity, surface_init, dtype):
     ).reshape(-1, 3)
     grid_center = np.asarray(reso) / 2.0
     rs = np.sqrt(np.sum((coords - grid_center) ** 2, axis=-1))
-    data = np.zeros((capacity, 1), dtype=np.float32)
+    r_half = float(np.linalg.norm(grid_center))
     lnk = links.reshape(-1)
     valid = lnk >= 0
-    if surface_init == "sphere":
+    rng = np.random.default_rng(0)
+    level_sets = np.array([0.0], np.float32)
+    data = np.zeros((capacity, 1), dtype=np.float32)
+
+    if surface_type == defs.SURFACE_TYPE_PLANE:
+        # per-vertex plane (a,b,c,d): ax+by+cz+d = 0 (svox2.py:850-884)
+        data = np.zeros((capacity, 4), np.float32)
+        if surface_init in (None, "random"):
+            d4 = rng.random((capacity, 4), np.float32) - 0.5
+            d4[:, :3] /= np.linalg.norm(d4[:, :3], axis=-1, keepdims=True)
+            data = d4
+        elif surface_init == "sphere":
+            dirs = (coords - grid_center).astype(np.float32)
+            n = np.linalg.norm(dirs, axis=-1, keepdims=True)
+            dirs = np.where(n > 0, dirs / np.where(n == 0, 1, n), 1.0 / np.sqrt(3))
+            data[lnk[valid], :3] = dirs[valid]
+        else:
+            raise NotImplementedError(
+                f"surface_init={surface_init} for PLANE grids"
+            )
+        # plane passes exactly through the vertex (svox2.py:862-866)
+        data[lnk[valid], 3] = -np.sum(
+            coords[valid] * data[lnk[valid], :3], axis=-1
+        )
+        return jnp.asarray(data, dtype=dtype), jnp.asarray(level_sets, dtype)
+
+    if surface_type in (
+        defs.SURFACE_TYPE_UDF,
+        defs.SURFACE_TYPE_UDF_ALPHA,
+        defs.SURFACE_TYPE_UDF_FAKE_SAMPLE,
+    ):
+        # unsigned distance field with fixed level sets (svox2.py:885-949)
+        if surface_init is None:
+            level_sets = np.array([64.0], np.float32)
+        elif surface_init == "sphere":
+            data[lnk[valid], 0] = rs[valid]
+            level_sets = (np.arange(0, r_half, 4) + 0.5).astype(np.float32)
+        elif surface_init == "single_lv":
+            level_sets = np.array([64.0], np.float32)
+            data[lnk[valid], 0] = (rs - (r_half / 2.0 - level_sets[0]))[valid]
+        elif surface_init == "single_lv_multi_sphere":
+            level_sets = np.array([64.0], np.float32)
+            sphere_rs = np.arange(0, r_half, 4) + 0.5
+            dists = rs[:, None] - sphere_rs[None, :]
+            nearest = dists[np.arange(dists.shape[0]),
+                            np.abs(dists).argmin(axis=-1)]
+            data[lnk[valid], 0] = nearest[valid] + level_sets[0]
+        else:
+            raise NotImplementedError(
+                f"surface_init={surface_init} for UDF grids"
+            )
+        return jnp.asarray(data, dtype=dtype), jnp.asarray(level_sets, dtype)
+
+    if surface_type == defs.SURFACE_TYPE_VOXEL_FACE:
+        # zeros; geometry is implied by voxel faces (svox2.py:955-957)
+        return jnp.asarray(data, dtype=dtype), jnp.asarray(level_sets, dtype)
+
+    # --- SDF (svox2.py:772-846) ---
+    if surface_init is None:
+        pass
+    elif surface_init == "sphere":
         # concentric spheres every 2 voxels (svox2.py:779-793)
-        sphere_rs = np.arange(0, np.sqrt(np.sum((np.asarray(reso) / 2.0) ** 2)), 2) + 0.5
+        sphere_rs = np.arange(0, r_half, 2) + 0.5
         dists = rs[:, None] - sphere_rs[None, :]
         nearest = dists[np.arange(dists.shape[0]), np.abs(dists).argmin(axis=-1)]
         data[lnk[valid], 0] = nearest[valid]
     elif surface_init == "single_sphere":
-        # single sphere of radius reso/4 (svox2.py:808-820 spirit)
-        data[lnk[valid], 0] = (rs - min(reso) / 4.0)[valid]
+        # single sphere of radius |grid_center|/2, rescaled (svox2.py:808-820)
+        data[lnk[valid], 0] = (rs - r_half / 2.0)[valid]
+        data *= 10.0 / rs.max()
+    elif surface_init == "outwards":
+        # random magnitudes, sign flips outward in alternating shells
+        # (svox2.py:822-841)
+        data[:, 0] = rng.random(capacity, np.float32)
+        abs_max_axis = np.abs(coords - grid_center.astype(np.int64)).argmax(-1)
+        for axis_id in range(3):
+            sel = (abs_max_axis == axis_id) & (coords[:, axis_id] % 2 == 0) & valid
+            data[lnk[sel], 0] *= -1.0
+    elif surface_init == "plane_init":
+        # noisy planes alternating along x (svox2.py:843-846)
+        data[:, 0] = rng.random(capacity, np.float32) * 0.1 + 1.0
+        sel = (coords[:, 0] % 2 == 1) & valid
+        data[lnk[sel], 0] *= -1.0
     elif surface_init == "random":
-        rng = np.random.default_rng(0)
-        data[lnk[valid], 0] = rng.standard_normal(valid.sum()) * 0.1
+        data[lnk[valid], 0] = rng.standard_normal(int(valid.sum())) * 0.1
     else:
         raise NotImplementedError(f"surface_init={surface_init}")
-    return jnp.asarray(data, dtype=dtype)
+    return jnp.asarray(data, dtype=dtype), jnp.asarray(level_sets, dtype)
 
 
 # ---------------------------------------------------------------------------

@@ -1,12 +1,19 @@
-"""Sparse-topology mutation: pruning, NeRF->surface init, upsampling.
+"""Sparse-topology mutation: pruning, NeRF->surface init, resampling.
 
 Host-side (numpy) re-designs of the reference's grid-mutation methods —
 these change array *shapes* (capacity), so they live outside jit and trigger
 a retrace, exactly as SURVEY.md §7 "hard parts" #4 prescribes:
 
   * prune_grid            svox2.py:2874-2951 (+ _C.dilate, misc_kernel.cu:24)
-  * init_surface_from_density   svox2.py:2954-3225 (density path)
-  * resample (upsample)   svox2.py:3963-4418 (simplified, alpha-threshold)
+  * init_surface_from_density   svox2.py:2954-3225 (density, weight, mask
+                                pruning, visibility pruning paths)
+  * resample              svox2.py:3963-4167 (sigma/weight thresh,
+                                max_elements topk bound)
+  * resample_surface      svox2.py:4172-4418 (alpha/weight thresh,
+                                non_expanding, max_elements)
+
+The camera-sweep passes (weight render, visibility, mask) run on device via
+``core.weight_render``.
 """
 from __future__ import annotations
 
@@ -23,11 +30,12 @@ def _np(x):
     return np.asarray(x)
 
 
-def _dense_field(grid: SparseGrid, data) -> np.ndarray:
-    """Scatter packed data to a dense (X,Y,Z,C) array, 0 where empty."""
+def _dense_field(grid: SparseGrid, data, fill=0.0) -> np.ndarray:
+    """Scatter packed data to a dense (X,Y,Z,C) array, ``fill`` where empty
+    (the MAYBE_READ_LINK_D default semantics, svox2_kernel.cu:138)."""
     links = _np(grid.links)
     d = _np(data)
-    out = np.zeros(links.shape + (d.shape[-1],), d.dtype)
+    out = np.full(links.shape + (d.shape[-1],), fill, d.dtype)
     mask = links >= 0
     out[mask] = d[links[mask]]
     return out
@@ -54,6 +62,29 @@ def _dilate(mask: np.ndarray, n: int) -> np.ndarray:
         return mask
     struct = np.ones((3, 3, 3), bool)
     return ndimage.binary_dilation(mask, structure=struct, iterations=int(n))
+
+
+def _trilerp_dense(vol: np.ndarray, pts: np.ndarray) -> np.ndarray:
+    """Trilerp a dense (X,Y,Z,C) field at grid-coordinate points (N,3) with
+    the reference kernel's clamping (svox2_kernel.cu:128-134). NaN corner
+    values poison the result exactly like the CUDA lerp does."""
+    reso = vol.shape[:3]
+    p = pts.copy()
+    for i in range(3):
+        p[:, i] = np.clip(p[:, i], 0.0, reso[i] - 1.0)
+    l = np.minimum(p.astype(np.int64), np.asarray(reso, np.int64) - 2)
+    f = p - l
+    out = np.zeros((p.shape[0], vol.shape[-1]), vol.dtype)
+    for dx in (0, 1):
+        for dy in (0, 1):
+            for dz in (0, 1):
+                w = (
+                    (f[:, 0] if dx else 1 - f[:, 0])
+                    * (f[:, 1] if dy else 1 - f[:, 1])
+                    * (f[:, 2] if dz else 1 - f[:, 2])
+                )
+                out += w[:, None] * vol[l[:, 0] + dx, l[:, 1] + dy, l[:, 2] + dz]
+    return out
 
 
 def prune_grid(
@@ -96,36 +127,9 @@ def grid_h(grid: SparseGrid) -> float:
     return 2.0 * float(np.mean(_np(grid.radius))) / gsz
 
 
-def init_surface_from_density(
-    grid: SparseGrid,
-    density_lvs: List[float] = (0.5,),
-    alpha_rescale: Optional[float] = None,
-    prune_threshold: float = 1e-8,
-    dilate: int = 2,
-    zero_lv_density: Optional[float] = None,
-    rng: Optional[np.random.Generator] = None,
-) -> SparseGrid:
-    """Plenoxels-density -> SDF conversion (svox2.py:3054-3118, 'density'
-    init path): surface = density - zero_lv; level_sets = density_lvs -
-    zero_lv; prune; metric rescale so |grad(surface)| ~= 1 in world units
-    (positive-INSIDE sdf convention)."""
-    density_lvs = list(density_lvs)
-    if zero_lv_density is None:
-        zero_lv_density = density_lvs[len(density_lvs) // 2]
-
-    level_sets = np.asarray(density_lvs, np.float32) - zero_lv_density
-    surface = _np(grid.density_data).astype(np.float32) - zero_lv_density
-    grid = grid.replace(
-        surface_data=jnp.asarray(surface),
-        level_set_data=jnp.asarray(level_sets),
-        surface_type=defs.SURFACE_TYPE_SDF
-        if grid.surface_type == defs.SURFACE_TYPE_NONE
-        else grid.surface_type,
-    )
-    grid = prune_grid(grid, prune_threshold, dilate, prune_surf=False)
-
-    # metric rescale by mean finite-difference gradient norm over non-empty
-    # cells whose +x/+y/+z neighbors exist (svox2.py:3069-3113)
+def _metric_rescale(grid: SparseGrid) -> SparseGrid:
+    """Rescale surface + level sets by the mean finite-difference gradient
+    norm over non-empty cells (svox2.py:3069-3113)."""
     links = _np(grid.links)
     surf = _np(grid.surface_data)[:, 0]
     l000 = links[:-1, :-1, :-1]
@@ -146,9 +150,256 @@ def init_surface_from_density(
                 surface_data=grid.surface_data / mean_grad,
                 level_set_data=grid.level_set_data / mean_grad,
             )
+    return grid
+
+
+def init_surface_from_density(
+    grid: SparseGrid,
+    density_lvs: List[float] = (0.5,),
+    alpha_rescale: Optional[float] = None,
+    prune_threshold: float = 1e-8,
+    dilate: int = 2,
+    zero_lv_density: Optional[float] = None,
+    init_type: str = "density",
+    weight_init_cams=None,
+    visibility_pruning_scale: float = 0.0,
+    mask_pruning_rays=None,
+    rng: Optional[np.random.Generator] = None,
+) -> SparseGrid:
+    """Plenoxels-density -> SDF conversion (svox2.py:2954-3225):
+    surface = density - zero_lv (optionally weighted by max camera
+    transmittance when init_type='weight'); level_sets = density_lvs -
+    zero_lv; prune; metric rescale so |grad(surface)| ~= 1 in world units
+    (positive-INSIDE sdf convention); optional mask-based density pruning
+    and visibility-based surface pruning."""
+    density_lvs = list(density_lvs)
+    if zero_lv_density is None:
+        zero_lv_density = density_lvs[len(density_lvs) // 2]
+
+    if mask_pruning_rays is not None:
+        # zero out density of cells never touched by foreground rays and of
+        # cells touched by known-background rays (svox2.py:2981-3014)
+        from .weight_render import sparse_grid_mask_render
+
+        m = _np(
+            getattr(mask_pruning_rays, "masks", None)
+            if getattr(mask_pruning_rays, "masks", None) is not None
+            else mask_pruning_rays.mask
+        ).astype(bool)
+        o = _np(mask_pruning_rays.origins)
+        d = _np(mask_pruning_rays.dirs)
+        if m.any():
+            obj = np.asarray(sparse_grid_mask_render(grid, o[m], d[m]))
+            grid = grid.replace(
+                density_data=grid.density_data * jnp.asarray(obj)[:, None]
+            )
+        if (~m).any():
+            empty = np.asarray(sparse_grid_mask_render(grid, o[~m], d[~m]))
+            grid = grid.replace(
+                density_data=grid.density_data
+                * jnp.asarray(1.0 - empty)[:, None]
+            )
+
+    level_sets = np.asarray(density_lvs, np.float32) - zero_lv_density
+    surface = _np(grid.density_data).astype(np.float32) - zero_lv_density
+    if init_type == "weight":
+        # weight-based init: density scaled by per-vertex max transmittance
+        # before the zero-level shift (svox2.py:3122-3148)
+        assert weight_init_cams, "init_type='weight' requires cameras"
+        from .weight_render import sparse_grid_weight_render
+
+        wt = np.asarray(sparse_grid_weight_render(grid, weight_init_cams))
+        surface = (
+            _np(grid.density_data).astype(np.float32) * wt[:, None]
+            - zero_lv_density
+        )
+    grid = grid.replace(
+        surface_data=jnp.asarray(surface),
+        level_set_data=jnp.asarray(level_sets),
+        surface_type=defs.SURFACE_TYPE_SDF
+        if grid.surface_type == defs.SURFACE_TYPE_NONE
+        else grid.surface_type,
+    )
+    grid = prune_grid(grid, prune_threshold, dilate, prune_surf=False)
+    grid = _metric_rescale(grid)
     if alpha_rescale is not None:
         grid = grid.replace(density_data=grid.density_data * alpha_rescale)
+
+    if visibility_pruning_scale > 0 and weight_init_cams:
+        # push surfaces of rarely-visible vertices strongly outside
+        # (svox2.py:3204-3221; threshold = scale * max visit count)
+        from .weight_render import sparse_grid_visibility_render_surf
+
+        vis = np.asarray(sparse_grid_visibility_render_surf(grid, weight_init_cams))
+        thresh = visibility_pruning_scale * float(vis.max())
+        if thresh > 0:
+            surf = _np(grid.surface_data).copy()
+            surf_min = float(surf.min())
+            low = vis < thresh
+            surf[low, 0] = (vis[low] - thresh) / thresh * surf_min
+            grid = grid.replace(surface_data=jnp.asarray(surf))
     return grid
+
+
+def _bound_thresh_by_topk(vals: np.ndarray, thresh: float, max_elements: int):
+    """Raise ``thresh`` so at most max_elements cells pass
+    (svox2.py:4091-4105)."""
+    if max_elements > 0 and max_elements < vals.size:
+        mask = vals >= thresh
+        if max_elements < np.count_nonzero(mask):
+            kth = np.partition(vals.reshape(-1), vals.size - max_elements)[
+                vals.size - max_elements
+            ]
+            thresh = max(thresh, float(kth))
+    return thresh
+
+
+def _new_lattice_points(curr_reso, new_reso, centered: bool) -> np.ndarray:
+    """Sample lattice of the new grid expressed in old grid coords.
+
+    centered=True: resample's voxel-center lattice (svox2.py:4012-4031);
+    centered=False: resample_surface's vertex lattice (svox2.py:4229-4247).
+    """
+    axes = []
+    for i in range(3):
+        if centered:
+            fact = 0.5 * curr_reso[i] / new_reso[i]
+            axes.append(np.linspace(fact - 0.5, curr_reso[i] - fact - 0.5,
+                                    new_reso[i], dtype=np.float64))
+        else:
+            axes.append(np.linspace(0.0, curr_reso[i] - 0.5, new_reso[i],
+                                    dtype=np.float64))
+    pts = np.stack(np.meshgrid(*axes, indexing="ij"), axis=-1)
+    return pts.reshape(-1, 3).astype(np.float32)
+
+
+def resample(
+    grid: SparseGrid,
+    new_reso,
+    sigma_thresh: float = 5.0,
+    weight_thresh: float = 0.01,
+    dilate: int = 2,
+    cameras=None,
+    weight_render_stop_thresh: float = 0.2,
+    max_elements: int = 0,
+    last_sample_opaque: bool = False,
+) -> SparseGrid:
+    """Resample+sparsify a density (cuvol) grid onto a new lattice
+    (svox2.py:3963-4167). Thresholds by sigma, or by max camera ray weight
+    when cameras are given; ``max_elements`` bounds capacity via top-k."""
+    if isinstance(new_reso, int):
+        new_reso = (new_reso,) * 3
+    new_reso = tuple(int(r) for r in new_reso)
+    curr_reso = _np(grid.links).shape
+    pts = _new_lattice_points(curr_reso, new_reso, centered=True)
+
+    dens_dense = _dense_field(grid, grid.density_data)
+    vals_density = _trilerp_dense(dens_dense, pts).reshape(new_reso)
+
+    if cameras is not None:
+        from .weight_render import grid_weight_render
+
+        max_wt = np.asarray(grid_weight_render(
+            vals_density, cameras, _np(grid.offset), _np(grid.scaling),
+            stop_thresh=weight_render_stop_thresh,
+        ))
+        weight_thresh = _bound_thresh_by_topk(max_wt, weight_thresh, max_elements)
+        mask = max_wt >= weight_thresh
+    else:
+        sigma_thresh = _bound_thresh_by_topk(vals_density, sigma_thresh, max_elements)
+        mask = vals_density >= sigma_thresh
+        if last_sample_opaque:
+            mask[:, :, -1] = True
+
+    mask = _dilate(mask, dilate)
+    sh_dense = _dense_field(grid, grid.sh_data)
+    flat = mask.reshape(-1)
+    vals_sh = _trilerp_dense(sh_dense, pts[flat])
+
+    new_dens = vals_density.reshape(-1, 1)[flat]
+    fields = {
+        "density_data": np.zeros(new_reso + (1,), np.float32),
+        "sh_data": np.zeros(new_reso + (grid.sh_data.shape[1],), np.float32),
+    }
+    fields["density_data"].reshape(-1, 1)[flat] = new_dens
+    fields["sh_data"].reshape(-1, grid.sh_data.shape[1])[flat] = vals_sh
+    stub = grid.replace(links=jnp.asarray(np.full(new_reso, -1, np.int32)))
+    return _rebuild(stub, mask, fields)
+
+
+def resample_surface(
+    grid: SparseGrid,
+    new_reso,
+    alpha_thresh: float = 1e-6,
+    weight_thresh: float = 0.01,
+    dilate: int = 2,
+    cameras=None,
+    weight_render_stop_thresh: float = 0.2,
+    max_elements: int = 0,
+    alpha_empty_val: float = -20.0,
+    non_expanding: bool = False,
+    sigmoid_alpha: bool = False,
+) -> SparseGrid:
+    """Resample+sparsify a surface grid (svox2.py:4172-4418). Thresholds by
+    raw alpha (sigmoid thresholds converted via logit, :4324-4326), or by
+    max camera ray weight; ``non_expanding`` drops new vertices whose
+    interpolation touched any previously-empty vertex (NaN default surf,
+    :4357-4383); ``max_elements`` bounds capacity via top-k."""
+    if isinstance(new_reso, int):
+        new_reso = (new_reso,) * 3
+    new_reso = tuple(int(r) for r in new_reso)
+    curr_reso = _np(grid.links).shape
+    pts = _new_lattice_points(curr_reso, new_reso, centered=False)
+
+    empty_alpha = alpha_empty_val if sigmoid_alpha else 0.0
+    dens_dense = _dense_field(grid, grid.density_data, fill=empty_alpha)
+    vals_density = _trilerp_dense(dens_dense, pts).reshape(new_reso)
+
+    if cameras is not None:
+        from .weight_render import grid_weight_render
+
+        max_wt = np.asarray(grid_weight_render(
+            vals_density, cameras, _np(grid.offset), _np(grid.scaling),
+            stop_thresh=weight_render_stop_thresh,
+        ))
+        weight_thresh = _bound_thresh_by_topk(max_wt, weight_thresh, max_elements)
+        mask = max_wt >= weight_thresh
+    else:
+        if sigmoid_alpha:
+            alpha_thresh = float(np.log(alpha_thresh / (1.0 - alpha_thresh)))
+        alpha_thresh = _bound_thresh_by_topk(vals_density, alpha_thresh, max_elements)
+        mask = vals_density >= alpha_thresh
+
+    mask = _dilate(mask, dilate)
+    flat = mask.reshape(-1)
+
+    sh_dense = _dense_field(grid, grid.sh_data)
+    surf_dense = _dense_field(
+        grid, grid.surface_data, fill=np.nan if non_expanding else -1.0
+    )
+    vals_sh = _trilerp_dense(sh_dense, pts[flat])
+    vals_surf = _trilerp_dense(surf_dense, pts[flat])
+
+    if non_expanding:
+        # drop samples that interpolated across previously-pruned vertices
+        keep = ~np.isnan(vals_surf[:, 0])
+        valid_ids = np.flatnonzero(flat)
+        flat[valid_ids] = keep
+        mask = flat.reshape(new_reso)
+        vals_sh = vals_sh[keep]
+        vals_surf = vals_surf[keep]
+
+    new_dens = vals_density.reshape(-1, 1)[flat]
+    fields = {
+        "density_data": np.zeros(new_reso + (1,), np.float32),
+        "sh_data": np.zeros(new_reso + (grid.sh_data.shape[1],), np.float32),
+        "surface_data": np.zeros(new_reso + (1,), np.float32),
+    }
+    fields["density_data"].reshape(-1, 1)[flat] = new_dens
+    fields["sh_data"].reshape(-1, grid.sh_data.shape[1])[flat] = vals_sh
+    fields["surface_data"].reshape(-1, 1)[flat] = vals_surf
+    stub = grid.replace(links=jnp.asarray(np.full(new_reso, -1, np.int32)))
+    return _rebuild(stub, mask, fields)
 
 
 def upsample(
@@ -156,67 +407,23 @@ def upsample(
     new_reso,
     alpha_upsample_thresh: float = -1e9,
     dilate: int = 2,
-    use_sigmoid_occupancy: bool = False,
+    cameras=None,
+    weight_thresh: float = 0.01,
+    max_elements: int = 0,
+    non_expanding: bool = False,
+    sigmoid_alpha: bool = False,
 ) -> SparseGrid:
-    """Resample all fields onto a finer vertex lattice
-    (resample_surface, svox2.py:4172-4418, simplified: occupancy from old
-    links + raw-alpha threshold, dilated).
-
-    New vertex j maps to old grid coordinate j * gsz_old / gsz_new.
-    """
-    if isinstance(new_reso, int):
-        new_reso = (new_reso,) * 3
-    old_reso = _np(grid.links).shape
-    scale = np.asarray(old_reso, np.float64) / np.asarray(new_reso, np.float64)
-
-    dens = _dense_field(grid, grid.density_data)
-    sh = _dense_field(grid, grid.sh_data)
-    occ = (_np(grid.links) >= 0).astype(np.float32)
-
-    coords = np.stack(
-        np.meshgrid(*[np.arange(r, dtype=np.float64) for r in new_reso],
-                    indexing="ij"),
-        axis=-1,
-    ) * scale  # (X',Y',Z',3) in old grid coords
-
-    def trilerp_dense(vol, pts):
-        from scipy import ndimage
-
-        out = np.stack(
-            [
-                ndimage.map_coordinates(
-                    vol[..., c], [pts[..., 0], pts[..., 1], pts[..., 2]],
-                    order=1, mode="nearest",
-                )
-                for c in range(vol.shape[-1])
-            ],
-            axis=-1,
-        )
-        return out
-
-    new_dens = trilerp_dense(dens, coords).astype(np.float32)
-    new_sh = trilerp_dense(sh, coords).astype(np.float32)
-    new_occ = trilerp_dense(occ[..., None], coords)[..., 0] > 1e-6
-
-    valid = new_occ & (new_dens[..., 0] > alpha_upsample_thresh)
-    fields = {"density_data": new_dens, "sh_data": new_sh}
+    """Upsample dispatch used by the trainer: resample_surface for surface
+    grids, resample for density grids (opt.py:1256-1272)."""
     if grid.surface_data is not None:
-        surf = _dense_field(grid, grid.surface_data)
-        new_surf = trilerp_dense(surf, coords).astype(np.float32)
-        fields["surface_data"] = new_surf
-        s = new_surf[..., 0]
-        # keep vertices near a level set as well (sign-change vs neighbors)
-        near = np.zeros_like(valid)
-        for lv in _np(grid.level_set_data):
-            sp = np.pad(s - lv, 1, mode="edge")
-            for ax in range(3):
-                lo = [slice(1, -1)] * 3
-                hi = [slice(1, -1)] * 3
-                hi[ax] = slice(2, None)
-                near |= np.sign(sp[tuple(lo)]) != np.sign(sp[tuple(hi)])
-        valid |= near & new_occ
-    valid = _dilate(valid, dilate)
-
-    fake = np.full(new_reso, -1, np.int32)
-    stub = grid.replace(links=jnp.asarray(fake))
-    return _rebuild(stub, valid, fields)
+        return resample_surface(
+            grid, new_reso, alpha_thresh=alpha_upsample_thresh,
+            weight_thresh=weight_thresh, dilate=dilate, cameras=cameras,
+            max_elements=max_elements, non_expanding=non_expanding,
+            sigmoid_alpha=sigmoid_alpha,
+        )
+    return resample(
+        grid, new_reso, sigma_thresh=alpha_upsample_thresh,
+        weight_thresh=weight_thresh, dilate=dilate, cameras=cameras,
+        max_elements=max_elements,
+    )

@@ -46,11 +46,17 @@ def make_gt_grid(reso=32, seed=0, basis_dim=4, dtype=None):
     dtype = dtype or jnp.float32
     g = create_grid(
         reso, radius=1.0, basis_dim=basis_dim,
-        surface_type=defs.SURFACE_TYPE_SDF, surface_init="single_sphere",
+        surface_type=defs.SURFACE_TYPE_SDF, surface_init=None,
         init_sigma=3.0,
     )
-    # positive inside (reference convention, svox2.py:3059)
-    g = g.replace(surface_data=-g.surface_data)
+    # explicit sphere of radius reso/4, positive inside (reference SDF
+    # convention, svox2.py:3059)
+    rr = [np.arange(r, dtype=np.float32) for r in g.reso]
+    X, Y, Z = np.meshgrid(*rr, indexing="ij")
+    c = np.asarray(g.reso, np.float32) / 2.0
+    rs = np.sqrt((X - c[0]) ** 2 + (Y - c[1]) ** 2 + (Z - c[2]) ** 2)
+    sdf = (min(g.reso) / 4.0 - rs).reshape(-1, 1).astype(np.float32)
+    g = g.replace(surface_data=jnp.asarray(sdf, dtype))
     rng = np.random.default_rng(seed)
     coords = np.stack(
         np.meshgrid(*[np.arange(r) for r in g.reso], indexing="ij"), axis=-1

@@ -647,15 +647,13 @@ def voxel_occupancy(grid: SparseGrid, opt: RenderOptions) -> jnp.ndarray:
     return occ
 
 
-def compact_crossings(grid, origins, dirs, tnear, tmax, occ, K: int):
-    """Phase A: sorted plane crossings -> first K occupied segments.
+def all_crossings(reso, origins, dirs, tnear, tmax):
+    """Sorted axis-plane crossings: every voxel segment of every ray.
 
-    :return: l (B,K,3), close_t (B,K), far_t (B,K), valid (B,K),
-        n_occupied (B,) (for overflow monitoring)
+    :return: seg_start, seg_end (B, S), seg_valid (B, S),
+        (lx, ly, lz) clipped voxel coords (B, S), in_bounds (B, S)
     """
-    B = origins.shape[0]
     dtype = origins.dtype
-    reso = grid.reso
     INF = jnp.asarray(jnp.inf, dtype)
 
     ts_parts = []
@@ -693,6 +691,22 @@ def compact_crossings(grid, origins, dirs, tnear, tmax, occ, K: int):
     lx = jnp.clip(l[..., 0], 0, reso[0] - 2)
     ly = jnp.clip(l[..., 1], 0, reso[1] - 2)
     lz = jnp.clip(l[..., 2], 0, reso[2] - 2)
+    return seg_start, seg_end, seg_valid, (lx, ly, lz), in_bounds
+
+
+def compact_crossings(grid, origins, dirs, tnear, tmax, occ, K: int):
+    """Phase A: sorted plane crossings -> first K occupied segments.
+
+    :return: l (B,K,3), close_t (B,K), far_t (B,K), valid (B,K),
+        n_occupied (B,) (for overflow monitoring)
+    """
+    B = origins.shape[0]
+    dtype = origins.dtype
+    reso = grid.reso
+
+    seg_start, seg_end, seg_valid, (lx, ly, lz), in_bounds = all_crossings(
+        reso, origins, dirs, tnear, tmax
+    )
     flat = (lx * (reso[1] - 1) + ly) * (reso[2] - 1) + lz
     # f32 gather: bool/int8 gathers scalarize on TPU (~100x slower)
     occ_f = jnp.take(occ.reshape(-1).astype(dtype), flat)

@@ -246,6 +246,20 @@ class Trainer:
         )
 
     # ---------------- stage transitions ----------------
+    def _resample_cameras(self):
+        """All training cameras, for weight-threshold sweeps
+        (opt.py:193-202)."""
+        dset = self.dset
+        return [
+            Camera.make(
+                dset.c2w[i],
+                fx=dset.intrins_full.fx, fy=dset.intrins_full.fy,
+                cx=dset.intrins_full.cx, cy=dset.intrins_full.cy,
+                width=dset.w_full, height=dset.h_full,
+            )
+            for i in range(dset.n_images)
+        ]
+
     def maybe_init_surface(self):
         """Density -> SDF conversion at no_surface_init_iters (opt.py:747-780)
         or immediately when warm-starting from a Plenoxels ckpt."""
@@ -253,6 +267,13 @@ class Trainer:
         if self.surface_initialized or self.target_surface_type == defs.SURFACE_TYPE_NONE:
             return
         self.log(f"[stage] init_surface_from_density at step {self.gstep}")
+        need_cams = (
+            cfg.surf_init_type == "weight" or cfg.visibility_pruning_scale > 0
+        )
+        mask_rays = None
+        if getattr(self.dset.rays, "mask", None) is not None:
+            # DTU-style mask pruning (opt.py:345-352)
+            mask_rays = self.dset.rays
         self.grid = topology.init_surface_from_density(
             self.grid,
             density_lvs=cfg.surf_init_density_lvs,
@@ -260,6 +281,10 @@ class Trainer:
             prune_threshold=min(cfg.surf_init_density_lvs) / 2,
             dilate=cfg.surf_init_dilate,
             zero_lv_density=cfg.zero_lv_density,
+            init_type=cfg.surf_init_type,
+            weight_init_cams=self._resample_cameras() if need_cams else None,
+            visibility_pruning_scale=cfg.visibility_pruning_scale,
+            mask_pruning_rays=mask_rays,
         )
         self.grid = self.grid.replace(surface_type=self.target_surface_type)
         self.surface_initialized = True
@@ -274,7 +299,38 @@ class Trainer:
             self.reso_id += 1
             new_reso = cfg.reso[self.reso_id]
             self.log(f"[stage] upsample -> {new_reso} at step {self.gstep}")
-            self.grid = topology.upsample(self.grid, new_reso)
+            # TV decay / early-off on first upsample (opt.py:1235-1243)
+            if cfg.tv_early_only > 0:
+                cfg.lambda_tv = 0.0
+                cfg.lambda_tv_alpha = 0.0
+                cfg.lambda_tv_sh = 0.0
+            elif cfg.tv_decay != 1.0:
+                cfg.lambda_tv *= cfg.tv_decay
+                cfg.lambda_tv_alpha *= cfg.tv_decay
+                cfg.lambda_tv_sh *= cfg.tv_decay
+            z_reso = new_reso if isinstance(new_reso, int) else new_reso[2]
+            cams = (
+                self._resample_cameras() if cfg.thresh_type == "weight" else None
+            )
+            if self.grid.surface_data is not None:
+                self.grid = topology.resample_surface(
+                    self.grid, new_reso,
+                    alpha_thresh=cfg.alpha_upsample_thresh,
+                    weight_thresh=cfg.weight_thresh / z_reso,
+                    dilate=2, cameras=cams,
+                    max_elements=cfg.max_grid_elements,
+                    non_expanding=cfg.surf_non_expand,
+                    sigmoid_alpha=cfg.surf_alpha_sigmoid_act,
+                )
+            else:
+                self.grid = topology.resample(
+                    self.grid, new_reso,
+                    sigma_thresh=cfg.density_thresh,
+                    weight_thresh=cfg.weight_thresh / z_reso,
+                    dilate=2, cameras=cams,
+                    max_elements=cfg.max_grid_elements,
+                )
+            self.log(f"[stage] new capacity {self.grid.capacity}")
             if cfg.upsample_density_add:
                 self.grid = self.grid.replace(
                     density_data=self.grid.density_data + cfg.upsample_density_add
