@@ -159,6 +159,9 @@ class Config:
     surf_norm_reg_ignore_empty: bool = False
     surf_norm_reg_l1: bool = False
     lambda_surface_eikonal: float = 0.0
+    lambda_inwards_norm_loss: float = 0.0
+    lambda_no_surf_init_density_lap_loss: float = 0.0
+    lambda_udf_var_loss: float = 0.0
     lambda_l_dist: float = 0.0
     lambda_l_entropy: float = 0.0
     lambda_l_dist_a: float = 0.0

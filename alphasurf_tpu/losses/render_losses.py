@@ -119,6 +119,27 @@ def l_sparsity_from_ray_losses(ray_losses):
     return jnp.sum(ray_losses["sp_logsig"] - ray_losses["sp_logsig_w"] / per_ray_w)
 
 
+def l_inward_norm_from_ray_losses(ray_losses):
+    """Inward-normal penalty (svox2.py:2559-2590): mean over rays of the
+    per-ray sum of alpha * relu(dot(normal, dir))^2 (normals detached)."""
+    return jnp.mean(ray_losses["l_inward"])
+
+
+def density_lap_from_ray_losses(ray_losses):
+    """Bimodal alpha prior (svox2.py:2608-2617) from streaming sums: mean
+    over all samples of -log(e^-a + e^-(1-a)), shifted positive."""
+    n = jnp.clip(jnp.sum(ray_losses["lap_cnt"]), min=1.0)
+    loss = jnp.sum(ray_losses["lap_sum"]) / n
+    return loss + jnp.log(jnp.exp(jnp.asarray(-1.0, loss.dtype)) + 1.0)
+
+
+def udf_var_from_ray_losses(ray_losses):
+    """UDF per-voxel corner variance weighted by extra level sets in hull
+    (svox2.py:2597-2606), meaned over candidate voxels."""
+    n = jnp.clip(jnp.sum(ray_losses["udf_var_cnt"]), min=1.0)
+    return jnp.sum(ray_losses["udf_var_sum"]) / n
+
+
 def l_conv_mode_samp_from_cache(cache):
     """Convergence-to-mode from the bounded cache (svox2.py:2495-2503)."""
     w = cache["weights"]

@@ -106,6 +106,7 @@ def _init_state(B, dtype, cache_size, ray_ok):
         for k in (
             "l_dist", "l_dist_a", "A_a", "S_a", "A_w", "S_w",
             "l_entropy", "l_entropy_a", "sp_logsig", "sp_logsig_w", "sp_w",
+            "l_inward", "lap_sum", "lap_cnt", "udf_var_sum", "udf_var_cnt",
         )
     }
     if cache_size is not None:
@@ -304,6 +305,16 @@ def _voxel_pass(
         fake_s = jnp.concatenate(
             [fake_s, jnp.ones((B, V, 1), bool)], axis=2
         )
+        # surface normal at the fake-sample position: used only by the
+        # inward-norm loss (the oracle computes surf_grad for fake samples
+        # too, svox2.py:2563-2582); the rendered normal map keeps real
+        # intersections only (trace_ray_normal semantics)
+        fgrad = trilerp_field_grad(surf8, ffrac)  # (B, V, 3)
+        fnsq = jnp.sum(fgrad * fgrad, axis=-1, keepdims=True)
+        fsnorm = -fgrad / jnp.sqrt(jnp.where(fnsq > 1e-20, fnsq, 1e-20))
+        snorm_in = jnp.concatenate(
+            [snorm_s, fsnorm[:, :, None, :]], axis=2
+        )
         snorm_s = jnp.concatenate(
             [snorm_s, jnp.zeros((B, V, 1, 3), dtype)], axis=2
         )
@@ -312,6 +323,8 @@ def _voxel_pass(
         )
 
     # ---- flatten (voxel, slot) -> composite axis, voxel-major ----
+    if not opt.surf_fake_sample:
+        snorm_in = snorm_s
     S = contrib.shape[2]
     VS = V * S
     t_s = t_s.reshape(B, VS)
@@ -320,7 +333,48 @@ def _voxel_pass(
     contrib = contrib.reshape(B, VS)
     fake_s = fake_s.reshape(B, VS)
     snorm_s = snorm_s.reshape(B, VS, 3)
+    snorm_in = snorm_in.reshape(B, VS, 3)
     counted_i = counted.reshape(B, VS).astype(jnp.int32)
+
+    # ---- inward-norm / density-lap / udf-var accumulators use the
+    # PRE-truncation alpha (the oracle's flat `alpha`, svox2.py:2322-2326;
+    # the truncated reweight is applied to B_alpha only, :2405-2410) ----
+    alpha_pre = alpha_s
+    # l_inward_norm (svox2.py:2559-2590): alpha * relu(dot(n, d))^2 summed
+    # over samples; normal detached
+    in_dot = jnp.sum(
+        jax.lax.stop_gradient(snorm_in) * dirs[:, None, :], axis=-1
+    )
+    acc["l_inward"] = acc["l_inward"] + jnp.sum(
+        jnp.where(contrib, alpha_pre * jnp.maximum(in_dot, 0.0) ** 2, 0.0), 1
+    )
+    # density_lap_loss (svox2.py:2608-2617): -log(e^-a + e^-(1-a)), meaned
+    # over samples in _finalize
+    p_lap = jnp.exp(-alpha_pre) + jnp.exp(-(1.0 - alpha_pre))
+    acc["lap_sum"] = acc["lap_sum"] + jnp.sum(
+        jnp.where(contrib, -jnp.log(p_lap), 0.0), 1
+    )
+    acc["lap_cnt"] = acc["lap_cnt"] + jnp.sum(contrib, 1).astype(dtype)
+    # udf_var_loss (svox2.py:2597-2606): clamp(n_lv_in_hull - 1, 0) *
+    # var(8 corners, unbiased), meaned over candidate voxels
+    if grid.surface_type in _UDF_TYPES:
+        if opt.surf_fake_sample and not opt.limited_fake_sample:
+            # unrestricted fake samples: the oracle considers every level
+            # set per voxel (svox2.py:2017-2019)
+            n_lv_hull = jnp.where(vox_ok, float(n_lv), 0.0).astype(dtype)
+        else:
+            n_lv_hull = jnp.sum(
+                jnp.stack(lv_ok_list, -1).astype(dtype), -1
+            )  # (B, V)
+            if grid.surface_type == defs.SURFACE_TYPE_UDF_FAKE_SAMPLE:
+                # no set in hull -> nearest set is used (svox2.py:2021-2027)
+                n_lv_hull = jnp.maximum(n_lv_hull, 1.0)
+        mu_v = jnp.mean(surf8, axis=-1)
+        var_v = jnp.sum((surf8 - mu_v[..., None]) ** 2, axis=-1) / 7.0
+        acc["udf_var_sum"] = acc["udf_var_sum"] + jnp.sum(
+            jnp.where(vox_ok, jnp.maximum(n_lv_hull - 1.0, 0.0) * var_v, 0.0), 1
+        )
+        acc["udf_var_cnt"] = acc["udf_var_cnt"] + jnp.sum(vox_ok, 1).astype(dtype)
 
     # running intersection index (kernel's ++intersect_i, slot-ordered);
     # fake samples use the post-voxel count minus one (svox2.py:2356)
@@ -484,6 +538,7 @@ def _finalize(grid, opt, state, cache_size, samples_ys=None, bg_rays=None):
             for k in (
                 "l_dist", "l_dist_a", "l_entropy", "l_entropy_a",
                 "sp_logsig", "sp_logsig_w", "sp_w",
+                "l_inward", "lap_sum", "lap_cnt", "udf_var_sum", "udf_var_cnt",
             )
         },
     }

@@ -55,6 +55,9 @@ class HParams(NamedTuple):
     lambda_samp_dist: jnp.ndarray = 0.0
     lambda_sparsity: jnp.ndarray = 0.0
     lambda_eikonal: jnp.ndarray = 0.0
+    lambda_inward_norm: jnp.ndarray = 0.0
+    lambda_density_lap: jnp.ndarray = 0.0
+    lambda_udf_var: jnp.ndarray = 0.0
     lambda_fs_std_l1: jnp.ndarray = 0.0
     lambda_fs_std_l2: jnp.ndarray = 0.0
     surface_unfrozen: jnp.ndarray = 1.0  # 0 during surface_init_freeze
@@ -233,6 +236,9 @@ def make_surface_step(cfg: StepConfig):
             loss += hp.lambda_l_entropy * rl.l_entropy_from_ray_losses(ray_l, alphas=False)
             loss += hp.lambda_l_entropy_a * rl.l_entropy_from_ray_losses(ray_l, alphas=True)
             loss += hp.lambda_sparsity * rl.l_sparsity_from_ray_losses(ray_l)
+            loss += hp.lambda_inward_norm * rl.l_inward_norm_from_ray_losses(ray_l)
+            loss += hp.lambda_density_lap * rl.density_lap_from_ray_losses(ray_l)
+            loss += hp.lambda_udf_var * rl.udf_var_from_ray_losses(ray_l)
             if cfg.use_two_pass_losses:
                 loss += hp.lambda_conv_mode_samp * rl.l_conv_mode_samp_from_cache(out["cache"])
                 loss += hp.lambda_samp_dist * rl.l_samp_dist_from_cache(out["cache"])

@@ -240,6 +240,10 @@ class Trainer:
             if (not self.surface_initialized or no_surface)
             else cfg.lambda_inplace_alpha_sparsify,
             lambda_eikonal=cfg.lambda_surface_eikonal,
+            lambda_inward_norm=cfg.lambda_inwards_norm_loss,
+            lambda_density_lap=cfg.lambda_no_surf_init_density_lap_loss
+            if not self.surface_initialized else 0.0,
+            lambda_udf_var=cfg.lambda_udf_var_loss,
             lambda_fs_std_l1=cfg.lambda_fake_sample_std_l1,
             lambda_fs_std_l2=cfg.lambda_fake_sample_std_l2,
             surface_unfrozen=0.0 if frozen else 1.0,
