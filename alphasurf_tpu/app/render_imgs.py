@@ -24,6 +24,7 @@ def main(argv=None):
     from ..data import datasets
     from ..render.image import render_image
     from ..utils.io import load_grid
+    from ..utils.lpips import make_lpips
     from ..utils.metrics import compute_ssim, psnr
 
     ap = argparse.ArgumentParser()
@@ -57,7 +58,8 @@ def main(argv=None):
     os.makedirs(out_dir, exist_ok=True)
 
     n = dset.n_images if args.n_images is None else min(args.n_images, dset.n_images)
-    psnrs, ssims = [], []
+    lpips_fn = make_lpips()  # None unless weight files are provided
+    psnrs, ssims, lpipss = [], [], []
     fx = np.atleast_1d(np.asarray(dset.intrins_full.fx))
     fy = np.atleast_1d(np.asarray(dset.intrins_full.fy))
     cx = np.atleast_1d(np.asarray(dset.intrins_full.cx))
@@ -77,7 +79,11 @@ def main(argv=None):
         s = compute_ssim(img, gt)
         psnrs.append(p)
         ssims.append(s)
-        print(f"view {i}: psnr={p:.3f} ssim={s:.4f}")
+        lp = lpips_fn(img, gt) if lpips_fn is not None else None
+        if lp is not None:
+            lpipss.append(lp)
+        print(f"view {i}: psnr={p:.3f} ssim={s:.4f}"
+              + (f" lpips={lp:.4f}" if lp is not None else ""))
         if not args.no_imsave:
             imageio.imwrite(
                 path.join(out_dir, f"{i:04d}.png"),
@@ -92,9 +98,14 @@ def main(argv=None):
 
     mean_psnr = float(np.mean(psnrs))
     mean_ssim = float(np.mean(ssims))
-    print(f"eval stats: psnr={mean_psnr:.4f} ssim={mean_ssim:.4f}")
+    stats = {"psnr": mean_psnr, "ssim": mean_ssim, "n": n}
+    line = f"eval stats: psnr={mean_psnr:.4f} ssim={mean_ssim:.4f}"
+    if lpipss:
+        stats["lpips"] = float(np.mean(lpipss))
+        line += f" lpips={stats['lpips']:.4f}"
+    print(line)
     with open(path.join(path.dirname(ckpt_path), "test_psnr.txt"), "w") as f:
-        json.dump({"psnr": mean_psnr, "ssim": mean_ssim, "n": n}, f)
+        json.dump(stats, f)
     return mean_psnr
 
 
