@@ -27,22 +27,55 @@ def make_mesh(n_devices: Optional[int] = None, axis: str = "data") -> Mesh:
     return Mesh(np.asarray(devs[:n]).reshape(n), (axis,))
 
 
-def shard_surface_step(step_fn, mesh: Mesh, axis: str = "data"):
-    """Wrap a train step (grid, rms, rays, rgb_gt, hp, key) -> ... with
-    data-parallel sharding constraints."""
+def shard_surface_step(step_fn, mesh: Mesh, axis: str = "data",
+                       model_axis: Optional[str] = None):
+    """Wrap a train step (grid, rms, rays, rgb_gt, hp, key[, occ]) with
+    data-parallel sharding constraints. When ``model_axis`` is given, grid
+    parameter rows (the capacity dimension) and their optimizer state are
+    additionally tile-sharded over that axis — the >HBM capacity path: each
+    chip holds 1/model of the packed voxel rows, row gathers become
+    all-gathers over ICI inserted by XLA."""
     repl = NamedSharding(mesh, P())
     rays_sh = NamedSharding(mesh, P(axis))
 
-    def ray_sharding(rays_tree):
-        return jax.tree_util.tree_map(lambda _: rays_sh, rays_tree)
-
-    def wrapped(grid, rms, rays, rgb_gt, hp, key):
-        grid = jax.device_put(grid, repl)
-        rms = jax.device_put(rms, repl)
+    def wrapped(grid, rms, rays, rgb_gt, hp, key, occ=None):
+        if model_axis is None:
+            grid = jax.device_put(grid, repl)
+            rms = jax.device_put(rms, repl)
+        else:
+            grid = shard_grid_params(grid, mesh, model_axis)
+            rms = jax.tree_util.tree_map(
+                lambda x: jax.device_put(
+                    x,
+                    NamedSharding(mesh, P(model_axis))
+                    if hasattr(x, "ndim") and x.ndim == 2
+                    and x.shape[0] == grid.capacity else repl,
+                ),
+                rms,
+            )
         rays = jax.tree_util.tree_map(
             lambda x: jax.device_put(x, rays_sh), rays
         )
         rgb_gt = jax.device_put(rgb_gt, rays_sh)
+        if occ is not None:
+            occ = jax.device_put(occ, repl)
+            return step_fn(grid, rms, rays, rgb_gt, hp, key, occ=occ)
         return step_fn(grid, rms, rays, rgb_gt, hp, key)
 
     return wrapped
+
+
+def shard_grid_params(grid, mesh: Mesh, model_axis: str = "model"):
+    """Tile-shard the packed per-vertex arrays over ``model_axis``
+    (capacity dim); links and scalars stay replicated. Capacity must divide
+    the axis size — pad the grid beforehand if needed."""
+    repl = NamedSharding(mesh, P())
+    rows = NamedSharding(mesh, P(model_axis))
+    cap = grid.capacity
+
+    def put(x):
+        if hasattr(x, "ndim") and x.ndim == 2 and x.shape[0] == cap:
+            return jax.device_put(x, rows)
+        return jax.device_put(x, repl)
+
+    return jax.tree_util.tree_map(put, grid)
