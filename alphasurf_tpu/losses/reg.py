@@ -252,7 +252,9 @@ def alpha_surf_sparsify_loss(
     s = fetch_links(grid.surface_data, l0)[..., 0]
     # empty cells fetch zeros and contribute log(sigmoid(0)) like the twin
     # (svox2.py:5037-5048); their gradients are blocked by the masked gather
-    alpha_loss = jnp.log(jax.nn.sigmoid(a_raw))
+    # log_sigmoid == log(sigmoid(x)) but stable for very negative raw alphas
+    # (sigmoid underflow would give log(0) = -inf, poisoning 0-lambda sums)
+    alpha_loss = jax.nn.log_sigmoid(a_raw)
     w = jax.lax.stop_gradient(jax.nn.sigmoid(-a_raw))
     surf_loss = jnp.where(a_raw < surf_thresh, w * s, 0.0)
     if not surf_decrease:
