@@ -185,6 +185,10 @@ class Config:
     # (TPU-native knob: the analog of the reference recomputing its accel
     # structure only on topology changes, svox2.py:4483-4490; 1 = every step)
     occ_refresh_every: int = 16
+    # production renderer: 'packed' (global entry pool), 'compact'
+    # (per-ray K slots), or 'dense' (full DDA walk; oracle path)
+    surface_renderer: str = "packed"
+    entries_per_ray: float = 8.0
 
     # --- thresholds / upsampling ---
     thresh_type: str = "weight"

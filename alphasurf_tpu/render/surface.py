@@ -151,27 +151,28 @@ def _gather_rows(packed: jnp.ndarray, links8: jnp.ndarray, dtype) -> jnp.ndarray
     return v8 * (links8 >= 0)[..., None].astype(dtype)
 
 
-def _voxel_pass(
+def _voxel_samples(
     grid: SparseGrid,
     opt: RenderOptions,
     origins,
     dirs,
     sh_mult,
     near_grid_t,
-    state: dict,
     l,
     close_t,
     far_t,
     vox_ok,
-    cache_size,
-    return_slots: bool,
-    packed=None,
+    packed,
 ):
-    """Process a chunk of V voxels for every ray: find intersections,
-    composite, update streaming losses. ``l`` is (B, V, 3); ``close_t``,
-    ``far_t``, ``vox_ok`` are (B, V). Voxels within the chunk are composited
-    in slot order (voxel-major), so a chunk of V behaves exactly like V
-    sequential single-voxel passes. Returns (state, slot_ys or None)."""
+    """Per-voxel sample computation shared by the scan compositor
+    (_voxel_pass) and the packed compositor (volume_render_surface_packed):
+    corner gathers, cubic intersections, fake samples. Leading dims are
+    (B, V); the slot axis S = 3*n_lv (+1 fake) is flattened voxel-major.
+
+    :return: dict of (B, V*S[,C]) slot arrays (t, alpha [pre-truncation],
+        rgb, contrib, fake, snorm, snorm_in, counted) + per-voxel values
+        used by the udf-var accumulator.
+    """
     B, V = close_t.shape
     dtype = origins.dtype
     n_lv = grid.level_set_data.shape[0]
@@ -180,18 +181,10 @@ def _voxel_pass(
     o4 = origins[:, None, None, :]  # (B,1,1,3) broadcast over (voxel, slot)
     d4 = dirs[:, None, None, :]
 
-    log_T = state["log_T"]
-    rgb_acc = state["rgb"]
-    depth_acc = state["depth"]
-    normal_acc = state["normal"]
-    acc = state["acc"]
-
     links8 = gather_corner_links(grid.links, l)  # (B, V, 8)
     all_present = jnp.all(links8 >= 0, axis=-1)
-    vox_ok = vox_ok & all_present & state["alive"][:, None]
+    vox_ok = vox_ok & all_present
 
-    if packed is None:
-        packed = pack_grid_data(grid)
     v8 = _gather_rows(packed, links8, dtype)  # (B, V, 8, C8)
     alpha8 = v8[..., 0]  # (B, V, 8)
     # corner raw-alpha prefilter (surf_trav.cu:230-239)
@@ -223,9 +216,6 @@ def _voxel_pass(
     )  # (B, V, 8, 3)
 
     # ---- real intersections, vectorized over the 3 roots per level set ----
-    # (slot axis S = 3*n_lv [+1 fake], processed with cumsums/cumprods along
-    # (voxel, slot) instead of a sequential python loop)
-    cnt_in = state["cnt"]
     root_chunks, lv_ok_list = [], []
     for i in range(n_lv):
         lv = grid.level_set_data[i]
@@ -270,6 +260,7 @@ def _voxel_pass(
     t_s = t_real
     fake_s = jnp.zeros(contrib.shape, bool)
     counted = geo_ok
+    snorm_in = snorm_s
 
     # ---- fake sample (surf_trav.cu:423-541), appended as each voxel's last
     # slot (slot order keeps voxel-major compositing order intact) ----
@@ -323,27 +314,35 @@ def _voxel_pass(
         )
 
     # ---- flatten (voxel, slot) -> composite axis, voxel-major ----
-    if not opt.surf_fake_sample:
-        snorm_in = snorm_s
     S = contrib.shape[2]
     VS = V * S
-    t_s = t_s.reshape(B, VS)
-    alpha_s = alpha_s.reshape(B, VS)
-    rgb_s = rgb_s.reshape(B, VS, 3)
-    contrib = contrib.reshape(B, VS)
-    fake_s = fake_s.reshape(B, VS)
-    snorm_s = snorm_s.reshape(B, VS, 3)
-    snorm_in = snorm_in.reshape(B, VS, 3)
-    counted_i = counted.reshape(B, VS).astype(jnp.int32)
+    out = {
+        "t": t_s.reshape(B, VS),
+        "alpha": alpha_s.reshape(B, VS),  # PRE-truncation
+        "rgb": rgb_s.reshape(B, VS, 3),
+        "contrib": contrib.reshape(B, VS),
+        "fake": fake_s.reshape(B, VS),
+        "snorm": snorm_s.reshape(B, VS, 3),
+        "snorm_in": snorm_in.reshape(B, VS, 3),
+        "counted": counted.reshape(B, VS).astype(jnp.int32),
+        "vox_ok": vox_ok,
+        "surf8": surf8,
+        "n_slots": S,
+    }
+    if grid.surface_type in _UDF_TYPES:
+        out["lv_ok"] = jnp.stack(lv_ok_list, -1)  # (B, V, n_lv)
+    return out
 
-    # ---- inward-norm / density-lap / udf-var accumulators use the
-    # PRE-truncation alpha (the oracle's flat `alpha`, svox2.py:2322-2326;
-    # the truncated reweight is applied to B_alpha only, :2405-2410) ----
-    alpha_pre = alpha_s
+
+def _accumulate_sample_losses(grid, opt, acc, dirs_s, smp, dtype):
+    """Streaming inward-norm / density-lap / udf-var accumulators shared by
+    both compositors. ``dirs_s`` broadcasts against the (B|M, VS) slots."""
+    contrib = smp["contrib"]
+    alpha_pre = smp["alpha"]
     # l_inward_norm (svox2.py:2559-2590): alpha * relu(dot(n, d))^2 summed
     # over samples; normal detached
     in_dot = jnp.sum(
-        jax.lax.stop_gradient(snorm_in) * dirs[:, None, :], axis=-1
+        jax.lax.stop_gradient(smp["snorm_in"]) * dirs_s, axis=-1
     )
     acc["l_inward"] = acc["l_inward"] + jnp.sum(
         jnp.where(contrib, alpha_pre * jnp.maximum(in_dot, 0.0) ** 2, 0.0), 1
@@ -358,14 +357,15 @@ def _voxel_pass(
     # udf_var_loss (svox2.py:2597-2606): clamp(n_lv_in_hull - 1, 0) *
     # var(8 corners, unbiased), meaned over candidate voxels
     if grid.surface_type in _UDF_TYPES:
+        n_lv = grid.level_set_data.shape[0]
+        vox_ok = smp["vox_ok"]
+        surf8 = smp["surf8"]
         if opt.surf_fake_sample and not opt.limited_fake_sample:
             # unrestricted fake samples: the oracle considers every level
             # set per voxel (svox2.py:2017-2019)
             n_lv_hull = jnp.where(vox_ok, float(n_lv), 0.0).astype(dtype)
         else:
-            n_lv_hull = jnp.sum(
-                jnp.stack(lv_ok_list, -1).astype(dtype), -1
-            )  # (B, V)
+            n_lv_hull = jnp.sum(smp["lv_ok"].astype(dtype), -1)
             if grid.surface_type == defs.SURFACE_TYPE_UDF_FAKE_SAMPLE:
                 # no set in hull -> nearest set is used (svox2.py:2021-2027)
                 n_lv_hull = jnp.maximum(n_lv_hull, 1.0)
@@ -375,6 +375,57 @@ def _voxel_pass(
             jnp.where(vox_ok, jnp.maximum(n_lv_hull - 1.0, 0.0) * var_v, 0.0), 1
         )
         acc["udf_var_cnt"] = acc["udf_var_cnt"] + jnp.sum(vox_ok, 1).astype(dtype)
+    return acc
+
+
+def _voxel_pass(
+    grid: SparseGrid,
+    opt: RenderOptions,
+    origins,
+    dirs,
+    sh_mult,
+    near_grid_t,
+    state: dict,
+    l,
+    close_t,
+    far_t,
+    vox_ok,
+    cache_size,
+    return_slots: bool,
+    packed=None,
+):
+    """Process a chunk of V voxels for every ray: find intersections,
+    composite, update streaming losses. ``l`` is (B, V, 3); ``close_t``,
+    ``far_t``, ``vox_ok`` are (B, V). Voxels within the chunk are composited
+    in slot order (voxel-major), so a chunk of V behaves exactly like V
+    sequential single-voxel passes. Returns (state, slot_ys or None)."""
+    B, V = close_t.shape
+    dtype = origins.dtype
+
+    log_T = state["log_T"]
+    rgb_acc = state["rgb"]
+    depth_acc = state["depth"]
+    normal_acc = state["normal"]
+    acc = state["acc"]
+    cnt_in = state["cnt"]
+
+    if packed is None:
+        packed = pack_grid_data(grid)
+    smp = _voxel_samples(
+        grid, opt, origins, dirs, sh_mult, near_grid_t, l, close_t, far_t,
+        vox_ok & state["alive"][:, None], packed,
+    )
+    S = smp["n_slots"]
+    VS = V * S
+    t_s = smp["t"]
+    alpha_s = smp["alpha"]
+    rgb_s = smp["rgb"]
+    contrib = smp["contrib"]
+    fake_s = smp["fake"]
+    snorm_s = smp["snorm"]
+    counted_i = smp["counted"]
+
+    acc = _accumulate_sample_losses(grid, opt, acc, dirs[:, None, :], smp, dtype)
 
     # running intersection index (kernel's ++intersect_i, slot-ordered);
     # fake samples use the post-voxel count minus one (svox2.py:2356)
@@ -789,6 +840,341 @@ def compact_crossings(grid, origins, dirs, tnear, tmax, occ, K: int):
     far_t = jnp.where(valid, sel[..., 1], 0.0)
     l_k = sel[..., 2:5].astype(jnp.int32)
     return l_k, close_t, far_t, valid, n_occupied
+
+
+def compact_crossings_packed(grid, origins, dirs, tnear, tmax, occ, M: int):
+    """Phase A, packed: ALL occupied (ray, voxel) crossings of the batch
+    compacted into one global entry pool of static size M, in (ray-major,
+    t-ascending) order — no per-ray padding.
+
+    :return: ray_id (M,) int32 (== B for empty slots), l (M, 3),
+        close_t/far_t (M,), valid (M,), n_occupied (B,)
+    """
+    B = origins.shape[0]
+    dtype = origins.dtype
+    reso = grid.reso
+
+    # --- candidate segments: NO merge/sort of the 3 crossing sequences.
+    # Each axis crossing identifies its following voxel in closed form
+    # (coordinate along the crossed axis = plane index, others = floor at
+    # the crossing); the segment's far plane comes from the voxel slab
+    # itself. The tnear entry segment is the extra candidate per ray. ---
+    cand_t, cand_l, cand_ok = [], [], []
+
+    # entry-at-tnear candidate, with boundary snapping matching the
+    # crossing convention (on-plane coordinate belongs to the voxel ahead)
+    p0 = origins + tnear[:, None] * dirs
+    fl = jnp.floor(p0)
+    on_plane = jnp.abs(p0 - jnp.round(p0)) < 1e-6
+    l0 = jnp.where(
+        on_plane, jnp.round(p0) - (dirs < 0).astype(dtype), fl
+    ).astype(jnp.int32)
+    cand_t.append(tnear[:, None])
+    cand_l.append(l0[:, None, :])
+    cand_ok.append((tmax > tnear + 1e-9)[:, None])
+
+    for a in range(3):
+        planes = jnp.arange(1, reso[a] - 1, dtype=dtype)  # (Pa,)
+        da = dirs[:, a : a + 1]
+        safe = jnp.where(da == 0, 1e-12, da)
+        t = (planes[None, :] - origins[:, a : a + 1]) / safe  # (B, Pa)
+        ok = (da != 0) & (t > tnear[:, None] + 1e-9) & (t < tmax[:, None] - 1e-9)
+        la = (planes[None, :] - (da < 0)).astype(jnp.int32)  # crossed axis
+        ls = []
+        for b in range(3):
+            if b == a:
+                ls.append(la)
+            else:
+                pb = origins[:, b : b + 1] + t * dirs[:, b : b + 1]
+                ls.append(jnp.floor(pb).astype(jnp.int32))
+        cand_t.append(jnp.where(ok, t, 0.0))
+        cand_l.append(jnp.stack(ls, axis=-1))
+        cand_ok.append(ok)
+
+    t_all = jnp.concatenate(cand_t, axis=1)  # (B, C)
+    l_all = jnp.concatenate(cand_l, axis=1)  # (B, C, 3)
+    ok_all = jnp.concatenate(cand_ok, axis=1)
+    C = t_all.shape[1]
+
+    in_bounds = jnp.all(l_all >= 0, axis=-1) & jnp.all(
+        l_all <= jnp.asarray(reso, jnp.int32) - 2, axis=-1
+    )
+    lc = jnp.clip(l_all, 0, jnp.asarray(reso, jnp.int32) - 2)
+    flat_vox = (
+        lc[..., 0] * (reso[1] - 1) + lc[..., 1]
+    ) * (reso[2] - 1) + lc[..., 2]
+    occ_f = jnp.take(occ.reshape(-1).astype(dtype), flat_vox)
+    occ_seg = (occ_f > 0.5) & ok_all & in_bounds
+    n_occupied = jnp.sum(occ_seg, axis=1)
+
+    # gather-based dense compaction into the global pool (ray-major): pool
+    # slot m -> (ray via searchsorted over per-ray bases, candidate via
+    # binary search over the row's running count). No big scatter/sort —
+    # TPU scatters over the 31M candidate list were the phase-A bottleneck.
+    occ_i = occ_seg.astype(jnp.int32)
+    cnt_row = jnp.cumsum(occ_i, axis=1)  # (B, C) inclusive
+    n_r = cnt_row[:, -1]
+    base = jnp.cumsum(n_r) - n_r  # (B,) exclusive
+    total = base[-1] + n_r[-1]
+
+    m = jax.lax.iota(jnp.int32, M)
+    valid = m < total
+    r_m = (
+        jnp.searchsorted(base, m, side="right").astype(jnp.int32) - 1
+    )
+    r_m = jnp.clip(r_m, 0, B - 1)
+    j_m = m - jnp.take(base, r_m)  # j-th occupied candidate of its ray
+
+    cnt_flat = cnt_row.reshape(-1)
+    lo = jnp.zeros(M, jnp.int32)
+    hi = jnp.full(M, C - 1, jnp.int32)
+    for _ in range(int(math.ceil(math.log2(C))) + 1):
+        mid = (lo + hi) // 2
+        v = jnp.take(cnt_flat, r_m * C + mid)
+        ge = v >= j_m + 1
+        hi = jnp.where(ge, mid, hi)
+        lo = jnp.where(ge, lo + 0, jnp.minimum(mid + 1, C - 1))
+    c_m = hi
+    fe = r_m * C + c_m
+    ray_id = jnp.where(valid, r_m, B).astype(jnp.int32)
+
+    def g(a):
+        return jnp.take(a.reshape(-1, *a.shape[2:]), fe, axis=0)
+
+    t_e = jnp.where(valid, g(t_all), 0.0)
+    l_e = g(lc)
+
+    # within-ray t-order: candidates were concatenated per axis, so sort
+    # the (tiny) pool lexicographically by (ray, t)
+    ray_s, t_s2, lx_s, ly_s, lz_s, val_s = jax.lax.sort(
+        (ray_id, t_e, l_e[:, 0], l_e[:, 1], l_e[:, 2],
+         valid.astype(jnp.int32)),
+        num_keys=2,
+    )
+    l_e = jnp.stack([lx_s, ly_s, lz_s], axis=-1)
+    valid = val_s > 0
+    rid = jnp.clip(ray_s, 0, B - 1)
+
+    # segment far plane from the voxel slab (== the next merged crossing)
+    o_e = jnp.take(origins, rid, axis=0)
+    d_e = jnp.take(dirs, rid, axis=0)
+    _, far_slab = dda.voxel_plane_ts(o_e, d_e, l_e)
+    far_t = jnp.minimum(far_slab, jnp.take(tmax, rid))
+    valid = valid & (far_t > t_s2 + 1e-9)
+    ray_id = jnp.where(valid, ray_s, B)
+    close_t = jnp.where(valid, t_s2, 0.0)
+    far_t = jnp.where(valid, far_t, 0.0)
+    return ray_id, l_e, close_t, far_t, valid, n_occupied
+
+
+def volume_render_surface_packed(
+    grid: SparseGrid,
+    rays: Rays,
+    opt: RenderOptions,
+    entries_per_ray: float = 8.0,
+    cache_size: int | None = None,
+    occupancy: jnp.ndarray | None = None,
+):
+    """Packed production renderer: identical math to
+    ``volume_render_surface_compact`` but with the per-ray K-slot padding
+    replaced by a single global pool of M = B * entries_per_ray occupied
+    crossings. Phase B work scales with the TRUE number of crossings
+    (typically 2-8 per ray on converged scenes) instead of K=32, and the
+    sequential scan disappears: compositing prefix products become one
+    global cumsum minus per-ray bases (entries are ray-major sorted), ray
+    reductions become sorted segment sums.
+
+    Matches the dense walk exactly while the batch's total occupied
+    crossings fit in M ('n_occupied' reports per-ray truth)."""
+    assert grid.surface_data is not None, "surface grid required"
+    (origins, dirs, sh_mult, tnear, tmax, near_grid_t, ray_ok,
+     delta_scale) = _prep(grid, rays, opt)
+    B = origins.shape[0]
+    dtype = origins.dtype
+    M = int(B * entries_per_ray)
+
+    occ = voxel_occupancy(grid, opt) if occupancy is None else occupancy
+    occ = jax.lax.stop_gradient(occ)
+    ray_id, l, close_t, far_t, valid, n_occ = compact_crossings_packed(
+        grid, origins, dirs, jnp.where(ray_ok, tnear, 0.0),
+        jnp.where(ray_ok, tmax, -1.0), occ, M,
+    )
+    ray_id, close_t, far_t, valid = jax.lax.stop_gradient(
+        (ray_id, close_t, far_t, valid)
+    )
+    rid = jnp.clip(ray_id, 0, B - 1)  # gather index (invalid -> ray 0)
+    seg_id = ray_id  # segment index (invalid -> B, dropped)
+
+    packed = pack_grid_data(grid)
+    o_e = jnp.take(origins, rid, axis=0)
+    d_e = jnp.take(dirs, rid, axis=0)
+    shm_e = jnp.take(sh_mult, rid, axis=0)
+
+    smp = _voxel_samples(
+        grid, opt, o_e, d_e, shm_e, near_grid_t,
+        l[:, None, :], close_t[:, None], far_t[:, None], valid[:, None],
+        packed,
+    )
+    S0 = smp["n_slots"]
+    t_s = smp["t"]          # (M, S0)
+    alpha_s = smp["alpha"]
+    rgb_s = smp["rgb"]
+    contrib = smp["contrib"]
+    fake_s = smp["fake"]
+    snorm_s = smp["snorm"]
+    counted_i = smp["counted"]
+
+    seg_sum = functools.partial(
+        jax.ops.segment_sum, num_segments=B, indices_are_sorted=True
+    )
+    seg_max = functools.partial(
+        jax.ops.segment_max, num_segments=B, indices_are_sorted=True
+    )
+
+    def ray_excl_prefix(x):
+        """Per-ray exclusive prefix along the (entry, slot) order of a
+        (M, S0) slot array; returns (M, S0) prefixes and (B,) ray sums."""
+        flat = x.reshape(-1)
+        cum = jnp.cumsum(flat).reshape(M, S0)
+        per_ray = seg_sum(jnp.sum(x, axis=1), seg_id)
+        base = jnp.cumsum(per_ray) - per_ray  # entries are ray-major
+        return cum - x - jnp.take(base, rid)[:, None], per_ray
+
+    # running intersection index (kernel's ++intersect_i)
+    exc_cnt, cnt = ray_excl_prefix(counted_i)
+    if opt.truncated_vol_render:
+        ids = exc_cnt.astype(jnp.int32) - fake_s.astype(jnp.int32)
+        rw = trunc_vol_render_rw(
+            ids, grid.truncated_vol_render_a, opt.trunc_vol_weight_min
+        )
+        alpha_trunc = alpha_s * rw
+    else:
+        alpha_trunc = alpha_s
+
+    # stop_thresh: voxel-entry transmittance kill (dense-walk semantics)
+    one_m0 = jnp.where(
+        contrib,
+        jnp.clip(1.0 - jnp.where(contrib, alpha_trunc, 0.0), 1e-7, 1.0 - 1e-7),
+        1.0,
+    )
+    if opt.stop_thresh > 0:
+        la_e = jnp.sum(jnp.log(one_m0), axis=1)  # (M,) per-entry attenuation
+        cum_e = jnp.cumsum(la_e)
+        per_ray_e = seg_sum(la_e, seg_id)
+        base_e = jnp.cumsum(per_ray_e) - per_ray_e
+        entry_pre = cum_e - la_e - jnp.take(base_e, rid)
+        alive = entry_pre > math.log(opt.stop_thresh)
+        contrib = contrib & alive[:, None]
+
+    # composite
+    alpha_c = jnp.where(contrib, alpha_trunc, 0.0)
+    one_m = jnp.where(contrib, jnp.clip(1.0 - alpha_c, 1e-7, 1.0 - 1e-7), 1.0)
+    log_att = jnp.log(one_m)
+    pre_att, log_T = ray_excl_prefix(log_att)
+    weight_s = jnp.where(contrib, jnp.exp(pre_att) * (1.0 - one_m), 0.0)
+
+    rgb_acc = seg_sum(jnp.sum(weight_s[..., None] * rgb_s, axis=1), seg_id)
+    depth_acc = seg_sum(jnp.sum(weight_s * t_s, axis=1), seg_id)
+    normal_acc = seg_sum(
+        jnp.sum(weight_s[..., None] * snorm_s, axis=1), seg_id
+    )
+
+    # mode depth: t of the per-ray max-weight sample
+    w_best_e = jnp.max(weight_s, axis=1)
+    t_best_e = jnp.take_along_axis(
+        t_s, jnp.argmax(weight_s, axis=1)[:, None], 1
+    )[:, 0]
+    wmax = seg_max(w_best_e, seg_id)
+    wmax = jnp.maximum(wmax, 0.0)
+    is_best = (w_best_e >= jnp.take(wmax, rid)) & (w_best_e > 0)
+    t_mode = seg_max(jnp.where(is_best, t_best_e, -jnp.inf), seg_id)
+    t_mode = jnp.where(jnp.isfinite(t_mode), t_mode, 0.0)
+
+    # streaming losses
+    acc = _init_state(B, dtype, cache_size, ray_ok)["acc"]
+    if opt.fake_sample_l_dist:
+        inc = contrib
+    else:
+        inc = contrib & ~fake_s
+    a_i = jnp.where(inc, alpha_c, 0.0)
+    w_i = jnp.where(inc, weight_s, 0.0)
+    preA, A_a = ray_excl_prefix(a_i)
+    preS, S_a = ray_excl_prefix(a_i * t_s)
+    preAw, A_w = ray_excl_prefix(w_i)
+    preSw, S_w = ray_excl_prefix(w_i * t_s)
+    acc["l_dist_a"] = seg_sum(
+        jnp.sum(a_i * (t_s * preA - preS), axis=1), seg_id
+    )
+    acc["l_dist"] = seg_sum(
+        jnp.sum(w_i * (t_s * preAw - preSw), axis=1), seg_id
+    )
+    acc["A_a"], acc["S_a"], acc["A_w"], acc["S_w"] = A_a, S_a, A_w, S_w
+    acc["l_entropy"] = seg_sum(
+        jnp.sum(jnp.where(w_i > 0, -w_i * jnp.log(jnp.clip(w_i, min=1e-8)), 0.0), 1),
+        seg_id,
+    )
+    acc["l_entropy_a"] = seg_sum(
+        jnp.sum(jnp.where(a_i > 0, -a_i * jnp.log(jnp.clip(a_i, min=1e-8)), 0.0), 1),
+        seg_id,
+    )
+    logsig = jnp.where(
+        contrib,
+        jnp.log(jnp.clip(-jnp.log(jnp.clip(1.0 - alpha_c, min=1e-8)), min=1e-8)),
+        0.0,
+    )
+    w_sg = jax.lax.stop_gradient(jnp.where(contrib, weight_s, 0.0))
+    acc["sp_logsig"] = seg_sum(jnp.sum(logsig, 1), seg_id)
+    acc["sp_logsig_w"] = seg_sum(jnp.sum(logsig * w_sg, 1), seg_id)
+    acc["sp_w"] = seg_sum(jnp.sum(w_sg, 1), seg_id)
+
+    # inward / lap / udf accumulators: per-entry sums then segment-reduce
+    acc_e = {
+        k: jnp.zeros(M, dtype)
+        for k in ("l_inward", "lap_sum", "lap_cnt", "udf_var_sum", "udf_var_cnt")
+    }
+    acc_e = _accumulate_sample_losses(grid, opt, acc_e, d_e[:, None, :],
+                                      smp, dtype)
+    for k in ("l_inward", "lap_sum", "lap_cnt", "udf_var_sum", "udf_var_cnt"):
+        acc[k] = seg_sum(acc_e[k], seg_id)
+
+    if cache_size is not None:
+        K = cache_size
+        contrib_i2 = contrib.astype(jnp.int32)
+        idxf, _ = ray_excl_prefix(contrib_i2)
+        idx = idxf.astype(jnp.int32)
+        ok = contrib & (idx < K)
+        colr = jnp.where(ok, idx, K)
+        rows = jnp.broadcast_to(seg_id[:, None], (M, S0))
+        rows = jnp.where(ok, rows, B)
+
+        def scat(buf, vals):
+            return buf.at[rows, colr].add(jnp.where(ok, vals, 0.0), mode="drop")
+
+        acc["c_ts"] = scat(acc["c_ts"], t_s)
+        acc["c_alphas"] = scat(acc["c_alphas"], alpha_c)
+        acc["c_weights"] = scat(acc["c_weights"], weight_s)
+        fake_f = scat(jnp.zeros((B, K), dtype), fake_s.astype(dtype))
+        acc["c_fake"] = acc["c_fake"] | (fake_f > 0)
+        acc["n_cached"] = jnp.minimum(
+            seg_sum(jnp.sum(contrib_i2, axis=1), seg_id), K
+        ).astype(jnp.int32)
+
+    state = {
+        "log_T": log_T,
+        "rgb": rgb_acc,
+        "depth": depth_acc,
+        "normal": normal_acc,
+        "wmax": wmax,
+        "t_mode": t_mode,
+        "cnt": cnt.astype(jnp.int32),
+        "alive": ray_ok,
+        "acc": acc,
+    }
+    out = _finalize(grid, opt, state, cache_size, None,
+                    bg_rays=(origins, dirs, delta_scale))
+    out["n_occupied"] = n_occ
+    out["n_entries_used"] = jnp.sum(valid)
+    return out
 
 
 def volume_render_surface_compact(

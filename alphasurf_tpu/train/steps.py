@@ -27,7 +27,11 @@ from ..losses import reg
 from ..losses import render_losses as rl
 from ..optim.rmsprop import RMSState, rmsprop_init, rmsprop_step
 from ..render.cuvol import volume_render_cuvol
-from ..render.surface import volume_render_surface, volume_render_surface_compact
+from ..render.surface import (
+    volume_render_surface,
+    volume_render_surface_compact,
+    volume_render_surface_packed,
+)
 
 
 class HParams(NamedTuple):
@@ -102,9 +106,14 @@ class StepConfig:
     use_sign_change: bool = False
     use_lumisphere_tv: bool = False
     use_two_pass_losses: bool = False  # enable cache-based conv/samp losses
-    compact: bool = True  # occupancy-compacted traversal (production path)
+    renderer: str = "packed"  # 'packed' | 'compact' | 'dense'
     max_intersect_voxels: int = 64  # K for the compacted path
     voxel_chunk: int = 8  # voxels per scan step in the compacted path
+    entries_per_ray: float = 8.0  # global pool budget for 'packed'
+
+    @property
+    def compact(self):  # back-compat alias
+        return self.renderer != "dense"
 
 
 def init_rms(grid: SparseGrid) -> dict:
@@ -212,7 +221,14 @@ def make_surface_step(cfg: StepConfig):
                 g = g.replace(fake_sample_std=fss)
             g = _apply_aux(g, aux)
             cache = cfg.cache_size if cfg.use_two_pass_losses else None
-            if cfg.compact:
+            if cfg.renderer == "packed":
+                out = volume_render_surface_packed(
+                    g, rays, cfg.opt,
+                    entries_per_ray=cfg.entries_per_ray,
+                    cache_size=cache,
+                    occupancy=occ,
+                )
+            elif cfg.renderer == "compact":
                 out = volume_render_surface_compact(
                     g, rays, cfg.opt,
                     max_intersect_voxels=cfg.max_intersect_voxels,

@@ -194,6 +194,8 @@ class Trainer:
             surf_tv_alpha_weighted=cfg.surf_tv_alpha_dependency,
             rms_beta=cfg.rms_beta,
             use_two_pass_losses=(cfg.lambda_conv_mode_samp > 0 or cfg.lambda_l_samp_dist > 0),
+            renderer=cfg.surface_renderer,
+            entries_per_ray=cfg.entries_per_ray,
         )
         fn = make_cuvol_step(scfg) if kind == "cuvol" else make_surface_step(scfg)
         self._step_fns[cache_key] = fn

@@ -9,9 +9,16 @@ from alphasurf_tpu.geometry.extract import extract_iso_points, extract_mesh
 
 def _sphere_grid(reso=24):
     g = at.create_grid(reso, radius=1.0, surface_type=at.defs.SURFACE_TYPE_SDF,
-                       surface_init="single_sphere", init_sigma=5.0)
-    # positive inside (reference convention)
-    return g.replace(surface_data=-g.surface_data)
+                       surface_init=None, init_sigma=5.0)
+    # explicit positive-inside sphere of radius reso/4 (world 0.5); the
+    # single_sphere initializer is now reference-exact with a different
+    # radius/scale (svox2.py:808-820)
+    rr = [np.arange(r, dtype=np.float32) for r in g.reso]
+    X, Y, Z = np.meshgrid(*rr, indexing="ij")
+    c = np.asarray(g.reso, np.float32) / 2.0
+    rs = np.sqrt((X - c[0]) ** 2 + (Y - c[1]) ** 2 + (Z - c[2]) ** 2)
+    sdf = (reso / 4.0 - rs).reshape(-1, 1).astype(np.float32)
+    return g.replace(surface_data=jnp.asarray(sdf))
 
 
 def test_iso_points_on_sphere():

@@ -58,7 +58,7 @@ def test_step_trains_basis_and_background():
         rms = init_rms(grid)
         cfg = StepConfig(
             opt=at.RenderOptions(),
-            compact=False,
+            renderer="dense",
             max_voxels=24,
             use_norm_match=True,
             use_viscosity=True,
