@@ -842,14 +842,246 @@ def compact_crossings(grid, origins, dirs, tnear, tmax, occ, K: int):
     return l_k, close_t, far_t, valid, n_occupied
 
 
-def compact_crossings_packed(grid, origins, dirs, tnear, tmax, occ, M: int):
+def pack_occupancy_bits(occ: jnp.ndarray) -> jnp.ndarray:
+    """Bit-pack a bool occupancy volume along z into f32-bitcast uint32
+    words: (X, Y, Z) -> (X, Y, ceil(Z/32)) f32. The packed table is 32x
+    smaller (2 MB at 256^3), so the 31M-candidate occupancy gather becomes
+    cache-resident instead of a random sweep of a 67 MB volume — and f32
+    gathers stay on the fast path (int/bool gathers scalarize on TPU)."""
+    X, Y, Z = occ.shape
+    W = (Z + 31) // 32
+    pad = W * 32 - Z
+    o = jnp.pad(occ, ((0, 0), (0, 0), (0, pad))).reshape(X, Y, W, 32)
+    weights = (jnp.uint32(1) << jnp.arange(32, dtype=jnp.uint32))
+    words = jnp.sum(o.astype(jnp.uint32) * weights, axis=-1, dtype=jnp.uint32)
+    return jax.lax.bitcast_convert_type(words, jnp.float32)
+
+
+def _occ_bit_lookup(occ_bits: jnp.ndarray, lx, ly, lz) -> jnp.ndarray:
+    """Test occupancy bits for voxel coords via the packed f32 table."""
+    W = occ_bits.shape[2]
+    widx = (lx * occ_bits.shape[1] + ly) * W + lz // 32
+    w = jnp.take(occ_bits.reshape(-1), widx)
+    bits = jax.lax.bitcast_convert_type(w, jnp.uint32)
+    return ((bits >> (lz.astype(jnp.uint32) & 31)) & 1) == 1
+
+
+def _pool_compact(count_row, M: int):
+    """Gather-based dense compaction: given per-row candidate hit counts
+    (R, C) (inclusive cumsum along C), map pool slot m -> (row, col) of its
+    m-th global hit via searchsorted over row bases + binary search within
+    the row. Returns (row (M,), col (M,), valid (M,)). No scatter/sort."""
+    R, C = count_row.shape
+    n_r = count_row[:, -1]
+    base = jnp.cumsum(n_r) - n_r
+    total = base[-1] + n_r[-1]
+
+    m = jax.lax.iota(jnp.int32, M)
+    valid = m < total
+    r_m = jnp.searchsorted(base, m, side="right").astype(jnp.int32) - 1
+    r_m = jnp.clip(r_m, 0, R - 1)
+    j_m = m - jnp.take(base, r_m)
+
+    cnt_flat = count_row.reshape(-1)
+    lo = jnp.zeros(M, jnp.int32)
+    hi = jnp.full(M, C - 1, jnp.int32)
+    for _ in range(int(math.ceil(math.log2(max(C, 2)))) + 1):
+        mid = (lo + hi) // 2
+        v = jnp.take(cnt_flat, r_m * C + mid)
+        ge = v >= j_m + 1
+        hi = jnp.where(ge, mid, hi)
+        lo = jnp.where(ge, lo, jnp.minimum(mid + 1, C - 1))
+    return r_m, hi, valid
+
+
+def _entry_candidate(origins, dirs, t_in):
+    """Voxel at a segment entry point, with on-plane coordinates snapped to
+    the voxel ahead (matching the crossing convention)."""
+    dtype = origins.dtype
+    p0 = origins + t_in[:, None] * dirs
+    fl = jnp.floor(p0)
+    on_plane = jnp.abs(p0 - jnp.round(p0)) < 1e-6
+    return jnp.where(
+        on_plane, jnp.round(p0) - (dirs < 0).astype(dtype), fl
+    ).astype(jnp.int32)
+
+
+def _packed_phase_a_coarse(grid, origins, dirs, tnear, tmax, occ, M: int,
+                           factor: int, supers_per_ray: float):
+    """Two-level candidate enumeration: supervoxel (factor^3 blocks)
+    crossings against a pooled coarse occupancy first, then fine plane
+    candidates only inside occupied supervoxel segments. Cuts the
+    per-candidate occupancy lookups ~(reso/(factor * mean_supers))x —
+    the 31M-element gather was the single largest cost of a train step."""
+    B = origins.shape[0]
+    dtype = origins.dtype
+    reso = grid.reso
+    F = factor
+    nvox = [r - 1 for r in reso]
+    ncoarse = [(n + F - 1) // F for n in nvox]
+
+    # coarse occupancy = blockwise any(occ)
+    occ_pad = jnp.pad(
+        occ,
+        [(0, c * F - n) for c, n in zip(ncoarse, nvox)],
+    )
+    occ_c = (
+        occ_pad.reshape(ncoarse[0], F, ncoarse[1], F, ncoarse[2], F)
+        .any(axis=(1, 3, 5))
+    )
+    bits_c = pack_occupancy_bits(occ_c)
+    bits_f = pack_occupancy_bits(occ)
+
+    # ---- level 0: supervoxel candidates (planes at multiples of F) ----
+    c_t, c_l, c_ok = [], [], []
+    l0 = _entry_candidate(origins, dirs, tnear) // F
+    c_t.append(tnear[:, None])
+    c_l.append(l0[:, None, :])
+    c_ok.append((tmax > tnear + 1e-9)[:, None])
+    for a in range(3):
+        planes = jnp.arange(1, ncoarse[a], dtype=dtype) * F  # fine coords
+        da = dirs[:, a : a + 1]
+        safe = jnp.where(da == 0, 1e-12, da)
+        t = (planes[None, :] - origins[:, a : a + 1]) / safe
+        ok = (da != 0) & (t > tnear[:, None] + 1e-9) & (t < tmax[:, None] - 1e-9)
+        ls = []
+        for b in range(3):
+            if b == a:
+                ls.append(
+                    (jnp.arange(1, ncoarse[a], dtype=dtype)[None, :]
+                     - (da < 0)).astype(jnp.int32)
+                )
+            else:
+                pb = origins[:, b : b + 1] + t * dirs[:, b : b + 1]
+                ls.append((jnp.floor(pb) // F).astype(jnp.int32))
+        c_t.append(jnp.where(ok, t, 0.0))
+        c_l.append(jnp.stack(ls, axis=-1))
+        c_ok.append(ok)
+    t0_all = jnp.concatenate(c_t, axis=1)
+    l0_all = jnp.concatenate(c_l, axis=1)
+    ok0_all = jnp.concatenate(c_ok, axis=1)
+
+    nc = jnp.asarray(ncoarse, jnp.int32)
+    inb0 = jnp.all(l0_all >= 0, -1) & jnp.all(l0_all <= nc - 1, -1)
+    lc0 = jnp.clip(l0_all, 0, nc - 1)
+    hit0 = _occ_bit_lookup(bits_c, lc0[..., 0], lc0[..., 1], lc0[..., 2])
+    occ0 = hit0 & ok0_all & inb0
+
+    M1 = int(B * supers_per_ray)
+    cnt0 = jnp.cumsum(occ0.astype(jnp.int32), axis=1)
+    r1, c1, v1 = _pool_compact(cnt0, M1)
+    C0 = t0_all.shape[1]
+    fe0 = r1 * C0 + c1
+    sl = jnp.take(lc0.reshape(-1, 3), fe0, axis=0)  # supervoxel (M1, 3)
+    st_in = jnp.where(v1, jnp.take(t0_all.reshape(-1), fe0), 0.0)
+    sray = jnp.where(v1, r1, B).astype(jnp.int32)
+    srid = jnp.clip(sray, 0, B - 1)
+    so = jnp.take(origins, srid, axis=0)
+    sd = jnp.take(dirs, srid, axis=0)
+    # supervoxel slab exit in fine coords
+    slf = (sl * F).astype(dtype)
+    far_planes = slf + jnp.where(sd < 0, 0.0, float(F))
+    safe_d = jnp.where(sd == 0, 1.0, sd)
+    st_out = jnp.min(
+        jnp.where(sd != 0, (far_planes - so) / safe_d, jnp.inf), axis=-1
+    )
+    st_out = jnp.minimum(st_out, jnp.take(tmax, srid))
+
+    # ---- level 1: fine candidates inside each occupied supersegment ----
+    # entry candidate + the F-1 interior planes per axis
+    f_t, f_l, f_ok = [], [], []
+    fl_entry = _entry_candidate(so, sd, st_in)
+    f_t.append(st_in[:, None])
+    f_l.append(fl_entry[:, None, :])
+    f_ok.append((v1 & (st_out > st_in + 1e-9))[:, None])
+    for a in range(3):
+        j = jnp.arange(1, F, dtype=dtype)[None, :]  # (1, F-1)
+        p = slf[:, a : a + 1] + j  # fine plane positions
+        da = sd[:, a : a + 1]
+        safe = jnp.where(da == 0, 1e-12, da)
+        t = (p - so[:, a : a + 1]) / safe
+        ok = (
+            v1[:, None] & (da != 0)
+            & (t > st_in[:, None] + 1e-9) & (t < st_out[:, None] - 1e-9)
+            & (p >= 1) & (p <= jnp.asarray(reso[a] - 2, dtype))
+        )
+        ls = []
+        for b in range(3):
+            if b == a:
+                ls.append((p - (da < 0)).astype(jnp.int32))
+            else:
+                pb = so[:, b : b + 1] + t * sd[:, b : b + 1]
+                ls.append(jnp.floor(pb).astype(jnp.int32))
+        f_t.append(jnp.where(ok, t, 0.0))
+        f_l.append(jnp.stack(ls, axis=-1))
+        f_ok.append(ok)
+    t1_all = jnp.concatenate(f_t, axis=1)  # (M1, C1)
+    l1_all = jnp.concatenate(f_l, axis=1)
+    ok1_all = jnp.concatenate(f_ok, axis=1)
+
+    nv = jnp.asarray(nvox, jnp.int32)
+    inb1 = jnp.all(l1_all >= 0, -1) & jnp.all(l1_all <= nv - 1, -1)
+    lc1 = jnp.clip(l1_all, 0, nv - 1)
+    hit1 = _occ_bit_lookup(bits_f, lc1[..., 0], lc1[..., 1], lc1[..., 2])
+    occ1 = hit1 & ok1_all & inb1
+    n_occupied = jax.ops.segment_sum(
+        jnp.sum(occ1, axis=1), sray, num_segments=B, indices_are_sorted=True
+    )
+
+    cnt1 = jnp.cumsum(occ1.astype(jnp.int32), axis=1)
+    r2, c2, valid = _pool_compact(cnt1, M)
+    C1 = t1_all.shape[1]
+    fe1 = r2 * C1 + c2
+    ray_id = jnp.where(valid, jnp.take(sray, r2), B).astype(jnp.int32)
+    valid = valid & (ray_id < B)
+    t_e = jnp.where(valid, jnp.take(t1_all.reshape(-1), fe1), 0.0)
+    l_e = jnp.take(lc1.reshape(-1, 3), fe1, axis=0)
+
+    return _finish_packed_pool(
+        grid, origins, dirs, tmax, ray_id, t_e, l_e, valid, n_occupied, B
+    )
+
+
+def _finish_packed_pool(grid, origins, dirs, tmax, ray_id, t_e, l_e, valid,
+                        n_occupied, B):
+    """Common tail: order the pool by (ray, t), derive far planes from the
+    voxel slab, final validity."""
+    ray_s, t_s2, lx_s, ly_s, lz_s, val_s = jax.lax.sort(
+        (ray_id, t_e, l_e[:, 0], l_e[:, 1], l_e[:, 2],
+         valid.astype(jnp.int32)),
+        num_keys=2,
+    )
+    l_e = jnp.stack([lx_s, ly_s, lz_s], axis=-1)
+    valid = val_s > 0
+    rid = jnp.clip(ray_s, 0, B - 1)
+
+    o_e = jnp.take(origins, rid, axis=0)
+    d_e = jnp.take(dirs, rid, axis=0)
+    _, far_slab = dda.voxel_plane_ts(o_e, d_e, l_e)
+    far_t = jnp.minimum(far_slab, jnp.take(tmax, rid))
+    valid = valid & (far_t > t_s2 + 1e-9)
+    ray_id = jnp.where(valid, ray_s, B)
+    close_t = jnp.where(valid, t_s2, 0.0)
+    far_t = jnp.where(valid, far_t, 0.0)
+    return ray_id, l_e, close_t, far_t, valid, n_occupied
+
+
+def compact_crossings_packed(grid, origins, dirs, tnear, tmax, occ, M: int,
+                             coarse_factor: int = 0,
+                             supers_per_ray: float = 8.0):
     """Phase A, packed: ALL occupied (ray, voxel) crossings of the batch
     compacted into one global entry pool of static size M, in (ray-major,
-    t-ascending) order — no per-ray padding.
+    t-ascending) order — no per-ray padding. ``coarse_factor`` > 1 routes
+    through the two-level supervoxel enumeration.
 
     :return: ray_id (M,) int32 (== B for empty slots), l (M, 3),
         close_t/far_t (M,), valid (M,), n_occupied (B,)
     """
+    if coarse_factor and coarse_factor > 1 and min(grid.reso) - 1 > coarse_factor:
+        return _packed_phase_a_coarse(
+            grid, origins, dirs, tnear, tmax, occ, M, coarse_factor,
+            supers_per_ray,
+        )
     B = origins.shape[0]
     dtype = origins.dtype
     reso = grid.reso
@@ -900,71 +1132,26 @@ def compact_crossings_packed(grid, origins, dirs, tnear, tmax, occ, M: int):
         l_all <= jnp.asarray(reso, jnp.int32) - 2, axis=-1
     )
     lc = jnp.clip(l_all, 0, jnp.asarray(reso, jnp.int32) - 2)
-    flat_vox = (
-        lc[..., 0] * (reso[1] - 1) + lc[..., 1]
-    ) * (reso[2] - 1) + lc[..., 2]
-    occ_f = jnp.take(occ.reshape(-1).astype(dtype), flat_vox)
-    occ_seg = (occ_f > 0.5) & ok_all & in_bounds
+    occ_bits = pack_occupancy_bits(occ)
+    occ_hit = _occ_bit_lookup(occ_bits, lc[..., 0], lc[..., 1], lc[..., 2])
+    occ_seg = occ_hit & ok_all & in_bounds
     n_occupied = jnp.sum(occ_seg, axis=1)
 
     # gather-based dense compaction into the global pool (ray-major): pool
     # slot m -> (ray via searchsorted over per-ray bases, candidate via
     # binary search over the row's running count). No big scatter/sort —
     # TPU scatters over the 31M candidate list were the phase-A bottleneck.
-    occ_i = occ_seg.astype(jnp.int32)
-    cnt_row = jnp.cumsum(occ_i, axis=1)  # (B, C) inclusive
-    n_r = cnt_row[:, -1]
-    base = jnp.cumsum(n_r) - n_r  # (B,) exclusive
-    total = base[-1] + n_r[-1]
-
-    m = jax.lax.iota(jnp.int32, M)
-    valid = m < total
-    r_m = (
-        jnp.searchsorted(base, m, side="right").astype(jnp.int32) - 1
-    )
-    r_m = jnp.clip(r_m, 0, B - 1)
-    j_m = m - jnp.take(base, r_m)  # j-th occupied candidate of its ray
-
-    cnt_flat = cnt_row.reshape(-1)
-    lo = jnp.zeros(M, jnp.int32)
-    hi = jnp.full(M, C - 1, jnp.int32)
-    for _ in range(int(math.ceil(math.log2(C))) + 1):
-        mid = (lo + hi) // 2
-        v = jnp.take(cnt_flat, r_m * C + mid)
-        ge = v >= j_m + 1
-        hi = jnp.where(ge, mid, hi)
-        lo = jnp.where(ge, lo + 0, jnp.minimum(mid + 1, C - 1))
-    c_m = hi
+    cnt_row = jnp.cumsum(occ_seg.astype(jnp.int32), axis=1)
+    r_m, c_m, valid = _pool_compact(cnt_row, M)
     fe = r_m * C + c_m
     ray_id = jnp.where(valid, r_m, B).astype(jnp.int32)
 
-    def g(a):
-        return jnp.take(a.reshape(-1, *a.shape[2:]), fe, axis=0)
+    t_e = jnp.where(valid, jnp.take(t_all.reshape(-1), fe), 0.0)
+    l_e = jnp.take(lc.reshape(-1, 3), fe, axis=0)
 
-    t_e = jnp.where(valid, g(t_all), 0.0)
-    l_e = g(lc)
-
-    # within-ray t-order: candidates were concatenated per axis, so sort
-    # the (tiny) pool lexicographically by (ray, t)
-    ray_s, t_s2, lx_s, ly_s, lz_s, val_s = jax.lax.sort(
-        (ray_id, t_e, l_e[:, 0], l_e[:, 1], l_e[:, 2],
-         valid.astype(jnp.int32)),
-        num_keys=2,
+    return _finish_packed_pool(
+        grid, origins, dirs, tmax, ray_id, t_e, l_e, valid, n_occupied, B
     )
-    l_e = jnp.stack([lx_s, ly_s, lz_s], axis=-1)
-    valid = val_s > 0
-    rid = jnp.clip(ray_s, 0, B - 1)
-
-    # segment far plane from the voxel slab (== the next merged crossing)
-    o_e = jnp.take(origins, rid, axis=0)
-    d_e = jnp.take(dirs, rid, axis=0)
-    _, far_slab = dda.voxel_plane_ts(o_e, d_e, l_e)
-    far_t = jnp.minimum(far_slab, jnp.take(tmax, rid))
-    valid = valid & (far_t > t_s2 + 1e-9)
-    ray_id = jnp.where(valid, ray_s, B)
-    close_t = jnp.where(valid, t_s2, 0.0)
-    far_t = jnp.where(valid, far_t, 0.0)
-    return ray_id, l_e, close_t, far_t, valid, n_occupied
 
 
 def volume_render_surface_packed(
@@ -974,6 +1161,9 @@ def volume_render_surface_packed(
     entries_per_ray: float = 8.0,
     cache_size: int | None = None,
     occupancy: jnp.ndarray | None = None,
+    return_intersections: bool = False,
+    coarse_factor: int = 8,
+    supers_per_ray: float = 8.0,
 ):
     """Packed production renderer: identical math to
     ``volume_render_surface_compact`` but with the per-ray K-slot padding
@@ -998,6 +1188,7 @@ def volume_render_surface_packed(
     ray_id, l, close_t, far_t, valid, n_occ = compact_crossings_packed(
         grid, origins, dirs, jnp.where(ray_ok, tnear, 0.0),
         jnp.where(ray_ok, tmax, -1.0), occ, M,
+        coarse_factor=coarse_factor, supers_per_ray=supers_per_ray,
     )
     ray_id, close_t, far_t, valid = jax.lax.stop_gradient(
         (ray_id, close_t, far_t, valid)
@@ -1174,6 +1365,17 @@ def volume_render_surface_packed(
                     bg_rays=(origins, dirs, delta_scale))
     out["n_occupied"] = n_occ
     out["n_entries_used"] = jnp.sum(valid)
+    if return_intersections:
+        # real-intersection point cloud in world coords, the 'intersections'
+        # / 'intersect_alphas' output of the oracle (svox2.py:2746-2761)
+        # consumed by the camera-trajectory extractor (exract_points.py)
+        pts_grid = o_e[:, None, :] + t_s[..., None] * d_e[:, None, :]
+        out["intersections"] = {
+            "pts": grid.grid2world(pts_grid.reshape(-1, 3)),
+            "alpha": alpha_s.reshape(-1),
+            "weight": weight_s.reshape(-1),
+            "mask": (contrib & ~fake_s).reshape(-1),
+        }
     return out
 
 

@@ -110,6 +110,8 @@ class StepConfig:
     max_intersect_voxels: int = 64  # K for the compacted path
     voxel_chunk: int = 8  # voxels per scan step in the compacted path
     entries_per_ray: float = 8.0  # global pool budget for 'packed'
+    coarse_factor: int = 8  # supervoxel prefilter for packed phase A
+    supers_per_ray: float = 8.0
 
     @property
     def compact(self):  # back-compat alias
@@ -227,6 +229,8 @@ def make_surface_step(cfg: StepConfig):
                     entries_per_ray=cfg.entries_per_ray,
                     cache_size=cache,
                     occupancy=occ,
+                    coarse_factor=cfg.coarse_factor,
+                    supers_per_ray=cfg.supers_per_ray,
                 )
             elif cfg.renderer == "compact":
                 out = volume_render_surface_compact(

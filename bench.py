@@ -115,7 +115,7 @@ def main():
     reso = int(sys.argv[1]) if len(sys.argv) > 1 else 256
     W = H = 800
     batch = 40960
-    K = 32  # max occupied voxels per ray (shell is ~6-14 crossings)
+    EPR = 6.0  # global pool budget: mean occupied crossings ~2 on the shell
 
     t0 = time.time()
     grid, occ = build_bench_grid(reso)
@@ -130,7 +130,8 @@ def main():
         surf_fake_sample=True, limited_fake_sample=True,
         truncated_vol_render=True,
     )
-    cfg = StepConfig(opt=opt, cache_size=None, max_intersect_voxels=K)
+    cfg = StepConfig(opt=opt, cache_size=None, renderer="packed",
+                     entries_per_ray=EPR)
     step = make_surface_step(cfg)
     from alphasurf_tpu.render.surface import voxel_occupancy
 

@@ -97,6 +97,36 @@ def test_packed_gradients_match_dense():
         )
 
 
+def test_packed_coarse_matches_dense():
+    """Two-level supervoxel phase A must still match the dense walk
+    (reso 16 grid so the coarse path actually engages)."""
+    g = make_ref_grid(reso=16, seed=9, prune_frac=0.3)
+    gj = grid_to_jax(g, jnp.float64)
+    origins, dirs = make_rays(64, seed=10)
+    rays = at.Rays(jnp.asarray(origins, jnp.float64), jnp.asarray(dirs, jnp.float64))
+    opt = at.RenderOptions(
+        **BASE, surf_fake_sample=True, limited_fake_sample=True,
+        truncated_vol_render=True, only_outward_intersect=True,
+    )
+    ref = volume_render_surface(gj, rays, opt)
+    for cf in (2, 4):
+        got = volume_render_surface_packed(
+            gj, rays, opt, entries_per_ray=48, coarse_factor=cf,
+            supers_per_ray=24,
+        )
+        for k in ("rgb", "depth", "log_transmit"):
+            np.testing.assert_allclose(
+                np.asarray(got[k]), np.asarray(ref[k]), rtol=1e-9,
+                atol=1e-10, err_msg=f"cf={cf} {k}",
+            )
+        for k in ref["ray_losses"]:
+            np.testing.assert_allclose(
+                np.asarray(got["ray_losses"][k]),
+                np.asarray(ref["ray_losses"][k]),
+                rtol=1e-8, atol=1e-10, err_msg=f"cf={cf} ray_losses[{k}]",
+            )
+
+
 def test_packed_overflow_monitor():
     gj, rays, opt = _setup(seed=7)
     out = volume_render_surface_packed(gj, rays, opt, entries_per_ray=1)
