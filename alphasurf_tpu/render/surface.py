@@ -1037,9 +1037,13 @@ def _packed_phase_a_coarse(grid, origins, dirs, tnear, tmax, occ, M: int,
     t_e = jnp.where(valid, jnp.take(t1_all.reshape(-1), fe1), 0.0)
     l_e = jnp.take(lc1.reshape(-1, 3), fe1, axis=0)
 
+    # supersegment-pool overflow: coarse hits beyond M1 were silently
+    # dropped above, so n_occupied undercounts — report it for the
+    # trainer's adaptive pool growth
+    sv_overflow = jnp.maximum(jnp.sum(occ0) - M1, 0)
     return _finish_packed_pool(
         grid, origins, dirs, tmax, ray_id, t_e, l_e, valid, n_occupied, B
-    )
+    ) + (sv_overflow,)
 
 
 def _finish_packed_pool(grid, origins, dirs, tmax, ray_id, t_e, l_e, valid,
@@ -1151,7 +1155,7 @@ def compact_crossings_packed(grid, origins, dirs, tnear, tmax, occ, M: int,
 
     return _finish_packed_pool(
         grid, origins, dirs, tmax, ray_id, t_e, l_e, valid, n_occupied, B
-    )
+    ) + (jnp.asarray(0, jnp.int32),)
 
 
 def volume_render_surface_packed(
@@ -1185,7 +1189,7 @@ def volume_render_surface_packed(
 
     occ = voxel_occupancy(grid, opt) if occupancy is None else occupancy
     occ = jax.lax.stop_gradient(occ)
-    ray_id, l, close_t, far_t, valid, n_occ = compact_crossings_packed(
+    ray_id, l, close_t, far_t, valid, n_occ, sv_overflow = compact_crossings_packed(
         grid, origins, dirs, jnp.where(ray_ok, tnear, 0.0),
         jnp.where(ray_ok, tmax, -1.0), occ, M,
         coarse_factor=coarse_factor, supers_per_ray=supers_per_ray,
@@ -1365,6 +1369,11 @@ def volume_render_surface_packed(
                     bg_rays=(origins, dirs, delta_scale))
     out["n_occupied"] = n_occ
     out["n_entries_used"] = jnp.sum(valid)
+    # entries dropped by the global pool (>0 means renders/grads are wrong
+    # for the tail rays — the trainer grows entries_per_ray in response)
+    out["pool_overflow"] = (
+        jnp.maximum(jnp.sum(n_occ) - out["n_entries_used"], 0) + sv_overflow
+    )
     if return_intersections:
         # real-intersection point cloud in world coords, the 'intersections'
         # / 'intersect_alphas' output of the oracle (svox2.py:2746-2761)

@@ -302,11 +302,12 @@ def make_surface_step(cfg: StepConfig):
             if train_fss:
                 # L1/L2 reg on fake_sample_std (svox2.py:6073-6075)
                 loss += hp.lambda_fs_std_l2 * jnp.sum(fss**2) + hp.lambda_fs_std_l1 * jnp.sum(jnp.abs(fss))
-            return loss, mse
+            overflow = out.get("pool_overflow", jnp.asarray(0, jnp.int32))
+            return loss, (mse, overflow)
 
         fss_in = grid.fake_sample_std if train_fss else jnp.zeros((1, 1), grid.density_data.dtype)
         aux_in = _aux_params(grid, rms)
-        (loss, mse), grads = jax.value_and_grad(
+        (loss, (mse, overflow)), grads = jax.value_and_grad(
             loss_fn, argnums=(0, 1, 2, 3, 4), has_aux=True
         )(grid.density_data, grid.sh_data, grid.surface_data, fss_in, aux_in)
         g_density, g_sh, g_surface, g_fss, g_aux = grads
@@ -341,7 +342,7 @@ def make_surface_step(cfg: StepConfig):
         new_grid = _apply_aux(new_grid, new_aux)
         new_rms.update(rms_aux)
 
-        stats = {"loss": loss, "mse": mse}
+        stats = {"loss": loss, "mse": mse, "pool_overflow": overflow}
         return new_grid, new_rms, stats
 
     return step

@@ -54,6 +54,12 @@ class Trainer:
         self._step_fns = {}
         self._occ = None  # cached voxel occupancy (refreshed periodically)
         self._occ_step = -1
+        # global-pool budgets for the packed renderer; grown adaptively when
+        # a step reports pool_overflow (entries silently dropped = wrong
+        # gradients for tail rays — early dense grids need far more than the
+        # converged-scene ~2 crossings/ray)
+        self._entries_per_ray = float(cfg.entries_per_ray)
+        self._supers_per_ray = float(getattr(cfg, "supers_per_ray", 8.0))
         from ..render.surface import voxel_occupancy
 
         self._occ_fn = jax.jit(voxel_occupancy, static_argnums=1)
@@ -176,7 +182,8 @@ class Trainer:
         cfg = self.cfg
         cache_key = (kind, self.grid.reso, self.grid.capacity,
                      None if self.grid.level_set_data is None
-                     else self.grid.level_set_data.shape[0])
+                     else self.grid.level_set_data.shape[0],
+                     self._entries_per_ray, self._supers_per_ray)
         if cache_key in self._step_fns:
             return self._step_fns[cache_key]
         opt = render_options_from(cfg, no_surface=no_surface)
@@ -195,7 +202,8 @@ class Trainer:
             rms_beta=cfg.rms_beta,
             use_two_pass_losses=(cfg.lambda_conv_mode_samp > 0 or cfg.lambda_l_samp_dist > 0),
             renderer=cfg.surface_renderer,
-            entries_per_ray=cfg.entries_per_ray,
+            entries_per_ray=self._entries_per_ray,
+            supers_per_ray=self._supers_per_ray,
         )
         fn = make_cuvol_step(scfg) if kind == "cuvol" else make_surface_step(scfg)
         self._step_fns[cache_key] = fn
@@ -296,6 +304,23 @@ class Trainer:
         self.surface_initialized = True
         self.rms = init_rms(self.grid)
         self._occ = None
+        self._size_pool_from_grid()
+
+    def _size_pool_from_grid(self):
+        """Proactively size the packed renderer's global pool: expected
+        occupied crossings/ray ~ linked-cell fraction x mean path length
+        (in voxels), with margin. Reactive doubling still covers the rest."""
+        g = self.grid
+        occ_frac = g.capacity / max(1, int(np.prod(g.links.shape)))
+        est = 1.6 * occ_frac * float(np.mean(g.links.shape)) + 4.0
+        new_epr = float(min(64.0, max(self._entries_per_ray, est)))
+        if new_epr != self._entries_per_ray:
+            self.log(
+                f"[pool] sizing entries_per_ray {self._entries_per_ray} -> "
+                f"{new_epr:.1f} (occ_frac={occ_frac:.3f})"
+            )
+            self._entries_per_ray = new_epr
+            self._supers_per_ray = min(32.0, max(self._supers_per_ray, new_epr / 2))
 
     def maybe_upsample(self):
         cfg = self.cfg
@@ -439,6 +464,19 @@ class Trainer:
                     self.grid, self.rms, rays, jnp.asarray(batch.gt), hp, sub
                 )
             mse = float(stats["mse"])
+            if kind == "surface" and int(stats.get("pool_overflow", 0)) > 0:
+                # the global entry pool dropped crossings: tail rays rendered
+                # (and backpropagated) wrong. Double the budgets and retrace;
+                # the one polluted update is absorbed by later steps.
+                old = self._entries_per_ray
+                self._entries_per_ray = min(64.0, self._entries_per_ray * 2)
+                self._supers_per_ray = min(32.0, self._supers_per_ray * 2)
+                if self._entries_per_ray != old:
+                    self.log(
+                        f"[pool] overflow={int(stats['pool_overflow'])} at step "
+                        f"{self.gstep}: entries_per_ray {old} -> "
+                        f"{self._entries_per_ray}"
+                    )
             stats_acc["mse"] += mse
             stats_acc["n"] += 1
             self.gstep += 1
