@@ -189,6 +189,11 @@ class Config:
     # (per-ray K slots), or 'dense' (full DDA walk; oracle path)
     surface_renderer: str = "packed"
     entries_per_ray: float = 8.0
+    # hard bound on the packed pool budget (memory = batch_size *
+    # entries_per_ray entries); overflow past this cap logs an ERROR and
+    # applies degraded updates rather than stalling
+    entries_per_ray_max: float = 256.0
+    supers_per_ray: float = 8.0
 
     # --- thresholds / upsampling ---
     thresh_type: str = "weight"

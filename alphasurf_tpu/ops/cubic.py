@@ -26,6 +26,7 @@ import jax.numpy as jnp
 NO_ROOT = -1.0  # marker for "no root in this slot" (matches svox2.py:2051)
 _ATOL = 1e-10
 _EPS = 1e-10
+_ROOT_MAX = 1e4  # roots are voxel-relative; anything larger is degenerate
 
 
 def cubic_coeffs(s8: jnp.ndarray, u: jnp.ndarray, d: jnp.ndarray):
@@ -132,7 +133,14 @@ def _cubic_roots_raw(f0, f1, f2, f3):
     )
     r1 = jnp.where(three_real, t_c1, jnp.where(has2, t_q1, no))
     r2 = jnp.where(three_real, t_c2, no)
-    return jnp.stack([r0, r1, r2], axis=-1)
+    roots = jnp.stack([r0, r1, r2], axis=-1)
+    # Roots are in voxel-entry-relative t (the _01 re-origin trick), so any
+    # geometrically meaningful root is O(1). Near-degenerate coefficients
+    # (|f1| ~ atol after cancellation) produce astronomically large "roots"
+    # whose powers overflow f32 in the implicit-diff JVP (t^3 = inf ->
+    # 0 * inf = NaN in masked gradients). Discard them here: they can never
+    # pass the in-voxel check anyway.
+    return jnp.where(jnp.abs(roots) < _ROOT_MAX, roots, NO_ROOT)
 
 
 @jax.custom_jvp
@@ -151,15 +159,18 @@ def _cubic_roots_jvp(primals, tangents):
     df0, df1, df2, df3 = tangents
     t = _cubic_roots_raw(f0, f1, f2, f3)
     valid = t != NO_ROOT
+    # powers only of valid roots: NO_ROOT slots would otherwise feed
+    # 0 * t^3 products that turn into NaN when t overflows
+    ts = jnp.where(valid, t, 0.0)
     # f'(t) = 3 f3 t^2 + 2 f2 t + f1
-    fp = 3.0 * f3[..., None] * t * t + 2.0 * f2[..., None] * t + f1[..., None]
+    fp = 3.0 * f3[..., None] * ts * ts + 2.0 * f2[..., None] * ts + f1[..., None]
     # guard near-degenerate (double) roots: |f'| clamped away from 0
     fp_safe = jnp.where(jnp.abs(fp) < _EPS, jnp.sign(fp) * _EPS + (fp == 0) * _EPS, fp)
     df = (
         df0[..., None]
-        + df1[..., None] * t
-        + df2[..., None] * t * t
-        + df3[..., None] * t * t * t
+        + df1[..., None] * ts
+        + df2[..., None] * ts * ts
+        + df3[..., None] * ts * ts * ts
     )
     dt = jnp.where(valid, -df / fp_safe, 0.0)
     return t, dt

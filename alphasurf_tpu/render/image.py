@@ -2,10 +2,13 @@
 
 Equivalent of ``volume_render_image`` (svox2.py:3641-3691). Fixed chunk size
 keeps a single jit specialization; the last partial chunk is padded. Surface
-grids render through the occupancy-compacted traversal (the production fast
-path — the reference's surf_trav backend has no image kernel and uses the
-batched-ray path, svox2.py:3671-3683); the dense walk remains available via
-``compact=False`` for oracle comparisons.
+grids render through the packed global-pool renderer — the same production
+path training uses (the reference's surf_trav backend has no image kernel and
+uses the batched-ray path, svox2.py:3671-3683). Each chunk's
+``pool_overflow`` is checked: on overflow the chunk re-renders with a doubled
+(power-of-two) pool, so eval images are never silently wrong. The dense walk
+remains available via ``renderer='dense'`` for oracle comparisons, and the
+K-slot path via ``renderer='compact'``.
 """
 from __future__ import annotations
 
@@ -22,6 +25,7 @@ from .cuvol import volume_render_cuvol
 from .surface import (
     volume_render_surface,
     volume_render_surface_compact,
+    volume_render_surface_packed,
     voxel_occupancy,
 )
 
@@ -30,23 +34,35 @@ _occ_fn = jax.jit(voxel_occupancy, static_argnums=1)
 
 @functools.partial(
     jax.jit,
-    static_argnames=("opt", "surface", "max_voxels", "compact",
-                     "max_intersect_voxels"),
+    static_argnames=("opt", "surface", "renderer", "max_intersect_voxels",
+                     "entries_per_ray"),
 )
-def _render_chunk(grid, origins, dirs, opt, surface: bool, max_voxels,
-                  compact: bool, max_intersect_voxels: int, occ=None):
+def _render_chunk(grid, origins, dirs, opt, surface: bool, renderer: str,
+                  max_intersect_voxels: int, entries_per_ray: float, occ=None):
     rays = Rays(origins, dirs)
     if surface:
-        if compact:
+        if renderer == "packed":
+            out = volume_render_surface_packed(
+                grid, rays, opt, entries_per_ray=entries_per_ray,
+                occupancy=occ,
+            )
+            overflow = out["pool_overflow"]
+        elif renderer == "compact":
             out = volume_render_surface_compact(
                 grid, rays, opt, max_intersect_voxels=max_intersect_voxels,
                 occupancy=occ,
             )
+            # K-slot path: overflow when any ray crosses more than K
+            overflow = jnp.sum(
+                jnp.maximum(out["n_occupied"] - max_intersect_voxels, 0)
+            )
         else:
-            out = volume_render_surface(grid, rays, opt, max_voxels=max_voxels)
+            out = volume_render_surface(grid, rays, opt)
+            overflow = jnp.asarray(0, jnp.int32)
     else:
         out = volume_render_cuvol(grid, rays, opt)
-    return out["rgb"], out["depth"]
+        overflow = jnp.asarray(0, jnp.int32)
+    return out["rgb"], out["depth"], overflow
 
 
 def render_image(
@@ -55,17 +71,27 @@ def render_image(
     opt: RenderOptions,
     chunk: int = 16384,
     return_depth: bool = False,
-    compact: bool = True,
+    renderer: str = "packed",
     max_intersect_voxels: int = 64,
+    entries_per_ray: float = 16.0,
+    entries_per_ray_max: float = 256.0,
+    compact: bool | None = None,
 ):
     """Render a full camera image; returns (H, W, 3) numpy (+ depth)."""
+    if compact is not None:  # back-compat boolean switch
+        renderer = "compact" if compact else "dense"
     rays = camera.gen_rays()
     n = rays.origins.shape[0]
     surface = grid.surface_data is not None
     # occupancy once per image, shared by all chunks
-    occ = _occ_fn(grid, opt) if (surface and compact) else None
+    occ = (
+        _occ_fn(grid, opt)
+        if (surface and renderer in ("packed", "compact"))
+        else None
+    )
     rgb_out = np.zeros((n, 3), np.float32)
     depth_out = np.zeros((n,), np.float32)
+    epr = float(2 ** int(np.ceil(np.log2(max(entries_per_ray, 1.0)))))
     for s in range(0, n, chunk):
         e = min(s + chunk, n)
         o = np.asarray(rays.origins[s:e])
@@ -74,10 +100,15 @@ def render_image(
             pad = chunk - (e - s)
             o = np.concatenate([o, np.repeat(o[-1:], pad, 0)])
             d = np.concatenate([d, np.repeat(d[-1:], pad, 0)])
-        rgb, depth = _render_chunk(
-            grid, jnp.asarray(o), jnp.asarray(d), opt, surface, None,
-            compact, max_intersect_voxels, occ,
-        )
+        oj, dj = jnp.asarray(o), jnp.asarray(d)
+        while True:
+            rgb, depth, overflow = _render_chunk(
+                grid, oj, dj, opt, surface, renderer,
+                max_intersect_voxels, epr, occ,
+            )
+            if renderer != "packed" or int(overflow) == 0 or epr >= entries_per_ray_max:
+                break
+            epr = min(entries_per_ray_max, epr * 2)  # sticky for later chunks
         rgb_out[s:e] = np.asarray(rgb)[: e - s]
         depth_out[s:e] = np.asarray(depth)[: e - s]
     rgb_img = rgb_out.reshape(camera.height, camera.width, 3)

@@ -894,16 +894,64 @@ def _pool_compact(count_row, M: int):
     return r_m, hi, valid
 
 
-def _entry_candidate(origins, dirs, t_in):
-    """Voxel at a segment entry point, with on-plane coordinates snapped to
-    the voxel ahead (matching the crossing convention)."""
-    dtype = origins.dtype
-    p0 = origins + t_in[:, None] * dirs
-    fl = jnp.floor(p0)
-    on_plane = jnp.abs(p0 - jnp.round(p0)) < 1e-6
-    return jnp.where(
-        on_plane, jnp.round(p0) - (dirs < 0).astype(dtype), fl
-    ).astype(jnp.int32)
+_SNAP_TOL = 1e-5  # grid units; > f32 roundoff of o + t*d at t ~ grid diag
+
+
+def _cross_coord(origin_b, dir_b, t, tie_crossed, scale=1.0):
+    """Voxel coordinate along a NON-crossed axis b for a candidate at
+    time t, in units of ``scale`` voxels.
+
+    This is the corner-crossing guard of the closed-form candidate
+    enumeration: when a ray crosses two planes at nearly the same t, each
+    (unsorted) candidate recomputes the other axes by flooring o + t*d,
+    and f32 roundoff can land on the wrong side of the just-crossed plane
+    — the true diagonal voxel is then either never enumerated (its
+    contribution lost) or enumerated twice. Within _SNAP_TOL of a plane
+    the side is decided by comparing CROSSING TIMES instead (computed with
+    the same formula as the candidates' own t's, so the comparison is
+    exact in f32); exact t-ties are broken by ``tie_crossed`` so exactly
+    one candidate claims the diagonal voxel.
+
+    :param tie_crossed: bool (broadcastable) — treat t_q == t as crossed
+    """
+    pb = (origin_b + t * dir_b) / scale
+    fl = jnp.floor(pb)
+    q = jnp.round(pb)
+    near = jnp.abs(pb - q) < _SNAP_TOL
+    safe = jnp.where(dir_b == 0, 1e-12, dir_b)
+    t_q = (q * scale - origin_b) / safe
+    crossed = (t_q < t) | ((t_q == t) & tie_crossed)
+    coord = jnp.where(
+        dir_b > 0,
+        q - 1.0 + crossed.astype(pb.dtype),
+        q - crossed.astype(pb.dtype),
+    )
+    return jnp.where(near & (dir_b != 0), coord, fl).astype(jnp.int32)
+
+
+def _entry_candidate(origins, dirs, t_in, slack=1e-9, scale=1.0):
+    """Voxel at a segment entry point. Near-plane coordinates are resolved
+    by crossing time: planes crossed at or before t_in (+``slack``, the
+    enumeration's exclusion band, so crossings skipped by the strict
+    ``t > t_in + 1e-9`` filters are owned by the entry voxel) put the
+    entry in the voxel ahead."""
+    out = []
+    for b in range(3):
+        o_b, d_b = origins[:, b : b + 1], dirs[:, b : b + 1]
+        pb = (o_b + t_in[:, None] * d_b) / scale
+        fl = jnp.floor(pb)
+        q = jnp.round(pb)
+        near = jnp.abs(pb - q) < _SNAP_TOL
+        safe = jnp.where(d_b == 0, 1e-12, d_b)
+        t_q = (q * scale - o_b) / safe
+        crossed = t_q <= t_in[:, None] + slack
+        coord = jnp.where(
+            d_b > 0,
+            q - 1.0 + crossed.astype(pb.dtype),
+            q - crossed.astype(pb.dtype),
+        )
+        out.append(jnp.where(near & (d_b != 0), coord, fl).astype(jnp.int32))
+    return jnp.concatenate(out, axis=-1)
 
 
 def _packed_phase_a_coarse(grid, origins, dirs, tnear, tmax, occ, M: int,
@@ -933,11 +981,16 @@ def _packed_phase_a_coarse(grid, origins, dirs, tnear, tmax, occ, M: int,
     bits_f = pack_occupancy_bits(occ)
 
     # ---- level 0: supervoxel candidates (planes at multiples of F) ----
-    c_t, c_l, c_ok = [], [], []
+    # each candidate carries the crossed axis (-1 for the tnear entry) so
+    # the fine-level entry voxel can be snapped EXACTLY on that axis —
+    # re-deriving it by flooring o + t*d loses the boundary voxel to f32
+    # roundoff (~2e-6 at t~40) and silently drops real crossings
+    c_t, c_l, c_ok, c_ax = [], [], [], []
     l0 = _entry_candidate(origins, dirs, tnear) // F
     c_t.append(tnear[:, None])
     c_l.append(l0[:, None, :])
     c_ok.append((tmax > tnear + 1e-9)[:, None])
+    c_ax.append(jnp.full((B, 1), -1, jnp.int32))
     for a in range(3):
         planes = jnp.arange(1, ncoarse[a], dtype=dtype) * F  # fine coords
         da = dirs[:, a : a + 1]
@@ -952,14 +1005,20 @@ def _packed_phase_a_coarse(grid, origins, dirs, tnear, tmax, occ, M: int,
                      - (da < 0)).astype(jnp.int32)
                 )
             else:
-                pb = origins[:, b : b + 1] + t * dirs[:, b : b + 1]
-                ls.append((jnp.floor(pb) // F).astype(jnp.int32))
+                # coarse units: corner crossings at supervoxel boundaries
+                # resolved by crossing time (see _cross_coord)
+                ls.append(_cross_coord(
+                    origins[:, b : b + 1], dirs[:, b : b + 1], t,
+                    tie_crossed=b < a, scale=float(F),
+                ))
         c_t.append(jnp.where(ok, t, 0.0))
         c_l.append(jnp.stack(ls, axis=-1))
         c_ok.append(ok)
+        c_ax.append(jnp.full((B, t.shape[1]), a, jnp.int32))
     t0_all = jnp.concatenate(c_t, axis=1)
     l0_all = jnp.concatenate(c_l, axis=1)
     ok0_all = jnp.concatenate(c_ok, axis=1)
+    ax0_all = jnp.concatenate(c_ax, axis=1)
 
     nc = jnp.asarray(ncoarse, jnp.int32)
     inb0 = jnp.all(l0_all >= 0, -1) & jnp.all(l0_all <= nc - 1, -1)
@@ -974,6 +1033,7 @@ def _packed_phase_a_coarse(grid, origins, dirs, tnear, tmax, occ, M: int,
     fe0 = r1 * C0 + c1
     sl = jnp.take(lc0.reshape(-1, 3), fe0, axis=0)  # supervoxel (M1, 3)
     st_in = jnp.where(v1, jnp.take(t0_all.reshape(-1), fe0), 0.0)
+    sax = jnp.take(ax0_all.reshape(-1), fe0)  # crossed axis per supersegment
     sray = jnp.where(v1, r1, B).astype(jnp.int32)
     srid = jnp.clip(sray, 0, B - 1)
     so = jnp.take(origins, srid, axis=0)
@@ -991,6 +1051,14 @@ def _packed_phase_a_coarse(grid, origins, dirs, tnear, tmax, occ, M: int,
     # entry candidate + the F-1 interior planes per axis
     f_t, f_l, f_ok = [], [], []
     fl_entry = _entry_candidate(so, sd, st_in)
+    # exact coordinate along the crossed axis: entering supervoxel sl
+    # through its low plane (d>0) puts the ray in fine voxel sl*F; through
+    # its high plane (d<0) in sl*F + F-1 — integer arithmetic, no roundoff
+    exact = sl * F + (sd < 0).astype(jnp.int32) * (F - 1)
+    fl_entry = jnp.where(
+        sax[:, None] == jnp.arange(3, dtype=jnp.int32)[None, :],
+        exact, fl_entry,
+    )
     f_t.append(st_in[:, None])
     f_l.append(fl_entry[:, None, :])
     f_ok.append((v1 & (st_out > st_in + 1e-9))[:, None])
@@ -1010,8 +1078,9 @@ def _packed_phase_a_coarse(grid, origins, dirs, tnear, tmax, occ, M: int,
             if b == a:
                 ls.append((p - (da < 0)).astype(jnp.int32))
             else:
-                pb = so[:, b : b + 1] + t * sd[:, b : b + 1]
-                ls.append(jnp.floor(pb).astype(jnp.int32))
+                ls.append(_cross_coord(
+                    so[:, b : b + 1], sd[:, b : b + 1], t, tie_crossed=b < a,
+                ))
         f_t.append(jnp.where(ok, t, 0.0))
         f_l.append(jnp.stack(ls, axis=-1))
         f_ok.append(ok)
@@ -1037,13 +1106,19 @@ def _packed_phase_a_coarse(grid, origins, dirs, tnear, tmax, occ, M: int,
     t_e = jnp.where(valid, jnp.take(t1_all.reshape(-1), fe1), 0.0)
     l_e = jnp.take(lc1.reshape(-1, 3), fe1, axis=0)
 
-    # supersegment-pool overflow: coarse hits beyond M1 were silently
-    # dropped above, so n_occupied undercounts — report it for the
-    # trainer's adaptive pool growth
-    sv_overflow = jnp.maximum(jnp.sum(occ0) - M1, 0)
+    # true drop count: fine hits beyond the entry pool M, plus coarse hits
+    # beyond the supersegment pool M1 (those hide an unknown number of fine
+    # crossings, so any sv overflow also demands pool growth). Degenerate
+    # entries later invalidated by _finish_packed_pool were never capacity
+    # drops and must NOT count (phantom overflow would ratchet the
+    # trainer's budgets for nothing).
+    overflow = (
+        jnp.maximum(jnp.sum(occ1) - M, 0)
+        + jnp.maximum(jnp.sum(occ0) - M1, 0)
+    )
     return _finish_packed_pool(
         grid, origins, dirs, tmax, ray_id, t_e, l_e, valid, n_occupied, B
-    ) + (sv_overflow,)
+    ) + (overflow,)
 
 
 def _finish_packed_pool(grid, origins, dirs, tmax, ray_id, t_e, l_e, valid,
@@ -1092,19 +1167,13 @@ def compact_crossings_packed(grid, origins, dirs, tnear, tmax, occ, M: int,
 
     # --- candidate segments: NO merge/sort of the 3 crossing sequences.
     # Each axis crossing identifies its following voxel in closed form
-    # (coordinate along the crossed axis = plane index, others = floor at
-    # the crossing); the segment's far plane comes from the voxel slab
-    # itself. The tnear entry segment is the extra candidate per ray. ---
+    # (coordinate along the crossed axis = plane index, others = snapped
+    # floor at the crossing — see _snap_floor for the corner-crossing
+    # guard); the segment's far plane comes from the voxel slab itself.
+    # The tnear entry segment is the extra candidate per ray. ---
     cand_t, cand_l, cand_ok = [], [], []
 
-    # entry-at-tnear candidate, with boundary snapping matching the
-    # crossing convention (on-plane coordinate belongs to the voxel ahead)
-    p0 = origins + tnear[:, None] * dirs
-    fl = jnp.floor(p0)
-    on_plane = jnp.abs(p0 - jnp.round(p0)) < 1e-6
-    l0 = jnp.where(
-        on_plane, jnp.round(p0) - (dirs < 0).astype(dtype), fl
-    ).astype(jnp.int32)
+    l0 = _entry_candidate(origins, dirs, tnear)
     cand_t.append(tnear[:, None])
     cand_l.append(l0[:, None, :])
     cand_ok.append((tmax > tnear + 1e-9)[:, None])
@@ -1121,8 +1190,10 @@ def compact_crossings_packed(grid, origins, dirs, tnear, tmax, occ, M: int,
             if b == a:
                 ls.append(la)
             else:
-                pb = origins[:, b : b + 1] + t * dirs[:, b : b + 1]
-                ls.append(jnp.floor(pb).astype(jnp.int32))
+                ls.append(_cross_coord(
+                    origins[:, b : b + 1], dirs[:, b : b + 1], t,
+                    tie_crossed=b < a,
+                ))
         cand_t.append(jnp.where(ok, t, 0.0))
         cand_l.append(jnp.stack(ls, axis=-1))
         cand_ok.append(ok)
@@ -1153,9 +1224,10 @@ def compact_crossings_packed(grid, origins, dirs, tnear, tmax, occ, M: int,
     t_e = jnp.where(valid, jnp.take(t_all.reshape(-1), fe), 0.0)
     l_e = jnp.take(lc.reshape(-1, 3), fe, axis=0)
 
+    overflow = jnp.maximum(jnp.sum(n_occupied) - M, 0)
     return _finish_packed_pool(
         grid, origins, dirs, tmax, ray_id, t_e, l_e, valid, n_occupied, B
-    ) + (jnp.asarray(0, jnp.int32),)
+    ) + (overflow,)
 
 
 def volume_render_surface_packed(
@@ -1189,7 +1261,7 @@ def volume_render_surface_packed(
 
     occ = voxel_occupancy(grid, opt) if occupancy is None else occupancy
     occ = jax.lax.stop_gradient(occ)
-    ray_id, l, close_t, far_t, valid, n_occ, sv_overflow = compact_crossings_packed(
+    ray_id, l, close_t, far_t, valid, n_occ, drop_count = compact_crossings_packed(
         grid, origins, dirs, jnp.where(ray_ok, tnear, 0.0),
         jnp.where(ray_ok, tmax, -1.0), occ, M,
         coarse_factor=coarse_factor, supers_per_ray=supers_per_ray,
@@ -1266,7 +1338,13 @@ def volume_render_surface_packed(
     one_m = jnp.where(contrib, jnp.clip(1.0 - alpha_c, 1e-7, 1.0 - 1e-7), 1.0)
     log_att = jnp.log(one_m)
     pre_att, log_T = ray_excl_prefix(log_att)
-    weight_s = jnp.where(contrib, jnp.exp(pre_att) * (1.0 - one_m), 0.0)
+    # clamp: true prefix attenuation is always <= 0, but entries invalidated
+    # AFTER the (ray, t) sort sit mid-pool with seg_id=B while rid clips to
+    # B-1, making their pre_att garbage-positive — exp would overflow to inf
+    # and inf * 0 poisons the whole compositor with NaN
+    weight_s = jnp.where(
+        contrib, jnp.exp(jnp.minimum(pre_att, 0.0)) * (1.0 - one_m), 0.0
+    )
 
     rgb_acc = seg_sum(jnp.sum(weight_s[..., None] * rgb_s, axis=1), seg_id)
     depth_acc = seg_sum(jnp.sum(weight_s * t_s, axis=1), seg_id)
@@ -1369,11 +1447,10 @@ def volume_render_surface_packed(
                     bg_rays=(origins, dirs, delta_scale))
     out["n_occupied"] = n_occ
     out["n_entries_used"] = jnp.sum(valid)
-    # entries dropped by the global pool (>0 means renders/grads are wrong
-    # for the tail rays — the trainer grows entries_per_ray in response)
-    out["pool_overflow"] = (
-        jnp.maximum(jnp.sum(n_occ) - out["n_entries_used"], 0) + sv_overflow
-    )
+    # entries actually dropped by pool capacity (>0 means renders/grads are
+    # wrong for tail rays — the trainer must grow budgets and retry; the
+    # step function refuses to apply an update when this fires)
+    out["pool_overflow"] = drop_count
     if return_intersections:
         # real-intersection point cloud in world coords, the 'intersections'
         # / 'intersect_alphas' output of the oracle (svox2.py:2746-2761)

@@ -65,6 +65,9 @@ class HParams(NamedTuple):
     lambda_fs_std_l1: jnp.ndarray = 0.0
     lambda_fs_std_l2: jnp.ndarray = 0.0
     surface_unfrozen: jnp.ndarray = 1.0  # 0 during surface_init_freeze
+    # >0 forces the update through even under pool overflow (used only when
+    # the pool is already at its configured cap — degraded but progressing)
+    force_apply: jnp.ndarray = 0.0
     # extended regularizers / auxiliary param groups
     lr_basis: jnp.ndarray = 0.0
     lr_background: jnp.ndarray = 0.0
@@ -341,6 +344,37 @@ def make_surface_step(cfg: StepConfig):
         new_aux, rms_aux = _aux_optim(aux_in, g_aux, rms, hp, beta)
         new_grid = _apply_aux(new_grid, new_aux)
         new_rms.update(rms_aux)
+
+        # pool overflow => crossings were dropped => gradients are wrong for
+        # the tail rays. Refuse to apply the update (keep the old params);
+        # the trainer grows the pool and retries the same batch. The CUDA
+        # kernel never drops crossings (surf_trav.cu walks to termination),
+        # so a polluted update has no reference analog. Only the updated
+        # param fields are selected (links/level_sets are untouched).
+        keep = (overflow == 0) | (hp.force_apply > 0)
+        sel = lambda n, o: jnp.where(keep, n, o)
+        new_grid = new_grid.replace(
+            density_data=sel(new_grid.density_data, grid.density_data),
+            sh_data=sel(new_grid.sh_data, grid.sh_data),
+            surface_data=sel(new_grid.surface_data, grid.surface_data),
+        )
+        if train_fss:
+            new_grid = new_grid.replace(
+                fake_sample_std=sel(new_grid.fake_sample_std, grid.fake_sample_std)
+            )
+        for k in list(new_aux):
+            if k == "basis_data":
+                new_grid = new_grid.replace(
+                    basis_data=sel(new_grid.basis_data, grid.basis_data))
+            elif k == "basis_mlp":
+                new_grid = new_grid.replace(basis_mlp=jax.tree.map(
+                    sel, new_grid.basis_mlp, grid.basis_mlp))
+            elif k == "background":
+                new_grid = new_grid.replace(background_data=sel(
+                    new_grid.background_data, grid.background_data))
+        new_rms = {
+            k: jax.tree.map(sel, v, rms[k]) for k, v in new_rms.items()
+        }
 
         stats = {"loss": loss, "mse": mse, "pool_overflow": overflow}
         return new_grid, new_rms, stats

@@ -55,11 +55,13 @@ class Trainer:
         self._occ = None  # cached voxel occupancy (refreshed periodically)
         self._occ_step = -1
         # global-pool budgets for the packed renderer; grown adaptively when
-        # a step reports pool_overflow (entries silently dropped = wrong
-        # gradients for tail rays — early dense grids need far more than the
-        # converged-scene ~2 crossings/ray)
-        self._entries_per_ray = float(cfg.entries_per_ray)
-        self._supers_per_ray = float(getattr(cfg, "supers_per_ray", 8.0))
+        # a step reports pool_overflow (entries dropped = wrong gradients
+        # for tail rays; the step refuses to apply such an update and the
+        # batch is retried with a larger pool). Budgets are quantized to
+        # powers of two so each growth costs exactly one retrace.
+        self._entries_cap = float(getattr(cfg, "entries_per_ray_max", 256.0))
+        self._entries_per_ray = self._pow2(float(cfg.entries_per_ray))
+        self._supers_per_ray = self._pow2(float(getattr(cfg, "supers_per_ray", 8.0)))
         from ..render.surface import voxel_occupancy
 
         self._occ_fn = jax.jit(voxel_occupancy, static_argnums=1)
@@ -306,21 +308,54 @@ class Trainer:
         self._occ = None
         self._size_pool_from_grid()
 
+    @staticmethod
+    def _pow2(x: float) -> float:
+        """Smallest power of two >= x (bounds retraces: every pool size is
+        a power of two, so N growth events cost at most log2 retraces)."""
+        return float(2 ** math.ceil(math.log2(max(x, 1.0))))
+
     def _size_pool_from_grid(self):
         """Proactively size the packed renderer's global pool: expected
         occupied crossings/ray ~ linked-cell fraction x mean path length
-        (in voxels), with margin. Reactive doubling still covers the rest."""
+        (in voxels), with margin. Reactive growth still covers the rest."""
         g = self.grid
         occ_frac = g.capacity / max(1, int(np.prod(g.links.shape)))
         est = 1.6 * occ_frac * float(np.mean(g.links.shape)) + 4.0
-        new_epr = float(min(64.0, max(self._entries_per_ray, est)))
+        if est > self._entries_cap:
+            self.log(
+                f"[pool] WARNING: estimated {est:.0f} crossings/ray exceeds "
+                f"entries_per_ray_max={self._entries_cap:.0f}; raise it if "
+                f"overflow persists"
+            )
+        new_epr = self._pow2(min(self._entries_cap, max(self._entries_per_ray, est)))
         if new_epr != self._entries_per_ray:
             self.log(
                 f"[pool] sizing entries_per_ray {self._entries_per_ray} -> "
-                f"{new_epr:.1f} (occ_frac={occ_frac:.3f})"
+                f"{new_epr:.0f} (occ_frac={occ_frac:.3f})"
             )
             self._entries_per_ray = new_epr
-            self._supers_per_ray = min(32.0, max(self._supers_per_ray, new_epr / 2))
+            self._supers_per_ray = min(
+                self._entries_cap, max(self._supers_per_ray, new_epr / 2)
+            )
+
+    def _grow_pool(self, overflow: int) -> bool:
+        """Reactive growth after an overflowing (and therefore unapplied)
+        step. Returns False when already at the configured cap."""
+        if self._entries_per_ray >= self._entries_cap:
+            self.log(
+                f"[pool] ERROR: overflow={overflow} at cap entries_per_ray="
+                f"{self._entries_per_ray:.0f}; crossings are being DROPPED "
+                f"every step — raise entries_per_ray_max"
+            )
+            return False
+        old = self._entries_per_ray
+        self._entries_per_ray = min(self._entries_cap, old * 2)
+        self._supers_per_ray = min(self._entries_cap, self._supers_per_ray * 2)
+        self.log(
+            f"[pool] overflow={overflow}: entries_per_ray {old:.0f} -> "
+            f"{self._entries_per_ray:.0f}; retrying batch"
+        )
+        return True
 
     def maybe_upsample(self):
         cfg = self.cfg
@@ -368,6 +403,9 @@ class Trainer:
                 )
             self.rms = init_rms(self.grid)
             self._occ = None
+            # upsampling typically multiplies crossings/ray; re-size the
+            # pool now instead of paying reactive growth retries
+            self._size_pool_from_grid()
 
     def _get_occ(self, no_surface: bool):
         """Voxel-occupancy skip structure, recomputed (in its own jit, so the
@@ -454,29 +492,32 @@ class Trainer:
                 jnp.asarray(batch.origins), jnp.asarray(batch.dirs),
                 None if batch.mask is None else jnp.asarray(batch.mask),
             )
+            gt_dev = jnp.asarray(batch.gt)
             if kind == "surface":
-                self.grid, self.rms, stats = step_fn(
-                    self.grid, self.rms, rays, jnp.asarray(batch.gt), hp, sub,
-                    occ=self._get_occ(no_surface),
-                )
+                # overflow => the step was a no-op (params unchanged inside
+                # the jitted step); grow the pool and retry the same batch
+                # with the same rng key until it fits or the cap is hit
+                forced = False
+                while True:
+                    self.grid, self.rms, stats = step_fn(
+                        self.grid, self.rms, rays, gt_dev, hp, sub,
+                        occ=self._get_occ(no_surface),
+                    )
+                    overflow = int(stats.get("pool_overflow", 0))
+                    if overflow == 0 or forced:
+                        break
+                    if self._grow_pool(overflow):
+                        step_fn = self._get_step(kind, no_surface)
+                    else:
+                        # at cap: apply the degraded update rather than
+                        # silently stalling (ERROR already logged)
+                        hp = hp._replace(force_apply=1.0)
+                        forced = True
             else:
                 self.grid, self.rms, stats = step_fn(
-                    self.grid, self.rms, rays, jnp.asarray(batch.gt), hp, sub
+                    self.grid, self.rms, rays, gt_dev, hp, sub
                 )
             mse = float(stats["mse"])
-            if kind == "surface" and int(stats.get("pool_overflow", 0)) > 0:
-                # the global entry pool dropped crossings: tail rays rendered
-                # (and backpropagated) wrong. Double the budgets and retrace;
-                # the one polluted update is absorbed by later steps.
-                old = self._entries_per_ray
-                self._entries_per_ray = min(64.0, self._entries_per_ray * 2)
-                self._supers_per_ray = min(32.0, self._supers_per_ray * 2)
-                if self._entries_per_ray != old:
-                    self.log(
-                        f"[pool] overflow={int(stats['pool_overflow'])} at step "
-                        f"{self.gstep}: entries_per_ray {old} -> "
-                        f"{self._entries_per_ray}"
-                    )
             stats_acc["mse"] += mse
             stats_acc["n"] += 1
             self.gstep += 1

@@ -11,6 +11,7 @@ relay's host->device path is far too slow for bulk uploads.
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
@@ -111,7 +112,8 @@ def main():
 
     # persistent compilation cache: the 512^3 step graph takes XLA ~13 min
     # to compile cold; cached it reloads in seconds across processes
-    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     import alphasurf_tpu as at
@@ -123,9 +125,10 @@ def main():
     batch = 40960
     EPR = 6.0  # global pool budget: mean occupied crossings ~2 on the shell
 
-    # round-1 architecture measured on this same protocol/hardware (the
-    # K-slot 'compact' renderer) — the self-baseline vs_baseline refers to
-    BASELINE_RAYS_PER_S = {256: 12753.7}
+    # prior-round architectures measured on this same protocol/hardware —
+    # the self-baseline vs_baseline refers to (256: round-1 K-slot
+    # 'compact' renderer; 512: round-2 packed pool, BENCH_r02.json)
+    BASELINE_RAYS_PER_S = {256: 12753.7, 512: 9915.2}
 
     t0 = time.time()
     grid, occ = build_bench_grid(reso)
@@ -190,7 +193,8 @@ def main():
                 "metric": "rays_per_s_fwd_bwd",
                 "value": round(rays_per_s, 1),
                 "unit": f"rays/s/chip (reso={reso}, occ={occ:.3f}, batch={batch})",
-                "vs_baseline": round(rays_per_s / base, 2) if base else 1.0,
+                # null (not 1.0) when no self-baseline exists for this reso
+                "vs_baseline": round(rays_per_s / base, 2) if base else None,
             }
         )
     )

@@ -133,3 +133,57 @@ def test_packed_overflow_monitor():
     # pool too small: still runs, reports true occupancy for monitoring
     assert int(np.asarray(out["n_entries_used"])) <= rays.origins.shape[0]
     assert np.asarray(out["n_occupied"]).sum() > int(np.asarray(out["n_entries_used"]))
+
+
+def test_packed_corner_crossings_camera():
+    """Regression: near-axis camera rays through the lattice center cross
+    voxel corners where two plane crossings land within f32 roundoff of
+    each other. The closed-form candidate enumeration must still cover
+    every voxel exactly once (the r2 code lost the diagonal voxel: f32
+    floor of o + t*d at the crossing picked the pre-crossing side, 24/2304
+    rays were off by up to 0.57 rgb)."""
+    from alphasurf_tpu.data.synthetic import make_gt_grid
+
+    g = make_gt_grid(16)
+    c2w = np.eye(4, dtype=np.float32)
+    c2w[2, 3] = -2.5
+    cam = at.Camera.make(jnp.asarray(c2w), fx=60.0, width=48, height=48)
+    rays = cam.gen_rays()
+    opt = at.RenderOptions(sigma_thresh=-1e9, stop_thresh=-1.0,
+                           only_outward_intersect=True)
+    ref = volume_render_surface(g, rays, opt)
+    for cf in (0, 8):
+        got = volume_render_surface_packed(
+            g, rays, opt, entries_per_ray=32, coarse_factor=cf)
+        dd = np.abs(np.asarray(got["rgb"] - ref["rgb"])).max(-1)
+        assert dd.max() < 1e-3, (cf, dd.max(), (dd > 1e-3).sum())
+        assert int(got["pool_overflow"]) == 0
+
+
+def test_packed_gradients_finite_with_invalid_entries():
+    """Regression: mid-pool entries invalidated after the (ray, t) sort
+    (degenerate corner slivers) made pre_att garbage-positive -> exp inf
+    -> NaN through the whole compositor; and huge cubic pseudo-roots
+    overflowed t^3 in the implicit-diff JVP. Both must stay finite."""
+    from alphasurf_tpu.data.synthetic import make_gt_grid
+
+    g = make_gt_grid(16).replace(
+        fake_sample_std=jnp.full((1, 1), 0.2, jnp.float32))
+    c2w = np.eye(4, dtype=np.float32)
+    c2w[2, 3] = -2.5
+    cam = at.Camera.make(jnp.asarray(c2w), fx=60.0, width=48, height=48)
+    rays = cam.gen_rays()
+    opt = at.RenderOptions(
+        sigma_thresh=-1e9, stop_thresh=-1.0, only_outward_intersect=True,
+        surf_fake_sample=True, limited_fake_sample=True,
+        truncated_vol_render=True)
+
+    def loss(surf, dens):
+        o = volume_render_surface_packed(
+            g.replace(surface_data=surf, density_data=dens), rays, opt,
+            entries_per_ray=16, coarse_factor=8)
+        return jnp.mean(o["rgb"] ** 2) + 1e-3 * jnp.sum(o["ray_losses"]["l_dist"])
+
+    gs, gd = jax.grad(loss, argnums=(0, 1))(g.surface_data, g.density_data)
+    assert bool(jnp.all(jnp.isfinite(gs))), "surface grad has NaN/inf"
+    assert bool(jnp.all(jnp.isfinite(gd))), "density grad has NaN/inf"
