@@ -213,7 +213,9 @@ class Config:
     n_eval_test: int = 3
     n_eval_train: int = 0
     log_depth_map: bool = False
+    log_depth_map_use_thresh: Optional[float] = None
     log_normal_map: bool = False
+    log_mse_image: bool = False
     tune_mode: bool = False
     final_render_eval: bool = False
     eval_cf: bool = False

@@ -427,3 +427,60 @@ def upsample(
         weight_thresh=weight_thresh, dilate=dilate, cameras=cameras,
         max_elements=max_elements,
     )
+
+
+def sparsify_background(
+    grid: SparseGrid, sigma_thresh: float = 1.0, dilate: int = 1
+) -> SparseGrid:
+    """Prune MSI background cells whose sigma falls below ``sigma_thresh``
+    (svox2.py:4422-4444): per-(cell, layer) mask, dilated in the 2D
+    background-link plane, any-layer reduced, links rebuilt."""
+    if grid.background_data is None:
+        return grid
+    links = _np(grid.background_links).copy()
+    data = _np(grid.background_data)
+    H, W = links.shape
+    n_layers = data.shape[1]
+    sigma_mask = np.zeros((H * W, n_layers), bool)
+    nonempty = links.reshape(-1) >= 0
+    sigma_mask[nonempty] = data[links.reshape(-1)[nonempty], :, -1] >= sigma_thresh
+    sigma_mask = sigma_mask.reshape(H, W, n_layers)
+    for _ in range(int(dilate)):
+        m = sigma_mask
+        grown = m.copy()
+        grown[1:] |= m[:-1]
+        grown[:-1] |= m[1:]
+        grown[:, 1:] |= m[:, :-1]
+        grown[:, :-1] |= m[:, 1:]
+        grown[..., 1:] |= m[..., :-1]
+        grown[..., :-1] |= m[..., 1:]
+        sigma_mask = grown
+    keep = sigma_mask.any(-1) & nonempty.reshape(H, W)
+    old_rows = links[keep]
+    new_links = np.full((H, W), -1, np.int32)
+    new_links[keep] = np.arange(keep.sum(), dtype=np.int32)
+    return grid.replace(
+        background_links=jnp.asarray(new_links),
+        background_data=jnp.asarray(data[old_rows]),
+    )
+
+
+def resize_basis(grid: SparseGrid, basis_dim: int) -> SparseGrid:
+    """Change the SH basis dimension in place (svox2.py:4447-4481 'resize'):
+    shared coefficients are remapped per color channel, new ones zeroed.
+    Optimizer state must be re-initialized by the caller (the reference
+    nulls sh_rms)."""
+    from .sh import MAX_SH_BASIS
+
+    root = int(round(basis_dim ** 0.5))
+    assert root * root == basis_dim, "basis_dim (SH) must be a square number"
+    assert 1 <= basis_dim <= MAX_SH_BASIS
+    old_bd = grid.basis_dim
+    old = _np(grid.sh_data)
+    new = np.zeros((old.shape[0], 3 * basis_dim), old.dtype)
+    m = min(old_bd, basis_dim)
+    for c in range(3):
+        new[:, c * basis_dim : c * basis_dim + m] = (
+            old[:, c * old_bd : c * old_bd + m]
+        )
+    return grid.replace(sh_data=jnp.asarray(new), basis_dim=basis_dim)

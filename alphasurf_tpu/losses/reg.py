@@ -8,9 +8,13 @@ atomically accumulates it into grad buffers; here each regularizer is a
 ``loss = mse + sum(lambda_i * reg_i)`` produces the same accumulated
 gradients, fused by XLA into the backward pass.
 
-All functions take flat cell ids (random subset, the analog of
-``_get_rand_cells``, svox2.py:6335) so per-step cost matches the reference's
-``sparse_frac`` sampling.
+All functions take flat cell ids (the analog of ``_get_rand_cells``,
+svox2.py:6335) so per-step cost matches the reference's ``sparse_frac``
+sampling. CONTRACT: ``cells`` must be a CONTIGUOUS window (what
+``sample_cells`` produces, mirroring the reference's contiguous=True) —
+the scatter-free backward of ``_fetch_cells`` relies on the resulting
+link streams being monotone and silently produces wrong gradients
+otherwise.
 """
 from __future__ import annotations
 
@@ -19,19 +23,39 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
-from ..core.grid import SparseGrid, fetch_links
+from ..core.grid import SparseGrid, fetch_links, fetch_links_contiguous
+
+
+def _fetch_cells(data: jnp.ndarray, links: jnp.ndarray) -> jnp.ndarray:
+    """fetch_links for link arrays derived from a CONTIGUOUS cell window
+    (sample_cells) — shape (n,) or (n, *offsets). Every fixed-offset
+    stream links[:, k] is monotone, so each uses the scatter-free
+    contiguous VJP (core.grid.fetch_links_contiguous); the generic
+    scatter-add backward costs ~90 ns/row on TPU and dominated the whole
+    train step at recipe scale (see PERF.md)."""
+    if links.ndim == 1:
+        return fetch_links_contiguous(data, links)
+    shp = links.shape
+    flat = links.reshape(shp[0], -1)
+    cols = [
+        fetch_links_contiguous(data, flat[:, k])
+        for k in range(flat.shape[1])
+    ]
+    return jnp.stack(cols, axis=1).reshape(*shp, data.shape[1])
 
 
 def sample_cells(key, grid: SparseGrid, sparse_frac: float) -> jnp.ndarray:
-    """Random flat cell ids covering ``sparse_frac`` of the link grid.
-
-    The reference samples a contiguous chunk for GPU coalescing
-    (svox2.py:6335-6352); uniform sampling is statistically cleaner and
-    gather-friendly on TPU.
-    """
+    """Random contiguous window of flat cell ids covering ``sparse_frac``
+    of the link grid — the reference's sampling (svox2.py:6335-6352,
+    contiguous=True, chosen there for GPU coalescing; on TPU it makes the
+    neighbor gathers cache-resident and the backward scatter-adds hit a
+    contiguous row range instead of 1M+ random rows). Deviation: no
+    wraparound at the end of the grid — the start is drawn from
+    [0, n - count] instead (same marginal coverage, simpler indexing)."""
     n = int(grid.links.size)
-    count = max(1, int(sparse_frac * n))
-    return jax.random.randint(key, (count,), 0, n, dtype=jnp.int32)
+    count = max(1, min(n, int(sparse_frac * n)))
+    start = jax.random.randint(key, (), 0, n - count + 1, dtype=jnp.int32)
+    return start + jnp.arange(count, dtype=jnp.int32)
 
 
 def _cells_to_xyz(cells, reso):
@@ -72,10 +96,10 @@ def tv_loss(
     lx = _link_at(grid.links, x + 1, y, z)
     ly = _link_at(grid.links, x, y + 1, z)
     lz = _link_at(grid.links, x, y, z + 1)
-    v0 = fetch_links(data, l0)[..., start_dim:end_dim]
-    vx = fetch_links(data, lx)[..., start_dim:end_dim]
-    vy = fetch_links(data, ly)[..., start_dim:end_dim]
-    vz = fetch_links(data, lz)[..., start_dim:end_dim]
+    v0 = _fetch_cells(data, l0)[..., start_dim:end_dim]
+    vx = _fetch_cells(data, lx)[..., start_dim:end_dim]
+    vy = _fetch_cells(data, ly)[..., start_dim:end_dim]
+    vz = _fetch_cells(data, lz)[..., start_dim:end_dim]
     ok = (l0 >= 0)[..., None]
     okx = ok & (lx >= 0)[..., None]
     oky = ok & (ly >= 0)[..., None]
@@ -100,17 +124,17 @@ def surface_tv_loss(
     lx = _link_at(grid.links, x + 1, y, z)
     ly = _link_at(grid.links, x, y + 1, z)
     lz = _link_at(grid.links, x, y, z + 1)
-    s0 = fetch_links(grid.surface_data, l0)[..., 0]
-    sx = fetch_links(grid.surface_data, lx)[..., 0]
-    sy = fetch_links(grid.surface_data, ly)[..., 0]
-    sz = fetch_links(grid.surface_data, lz)[..., 0]
+    s0 = _fetch_cells(grid.surface_data, l0)[..., 0]
+    sx = _fetch_cells(grid.surface_data, lx)[..., 0]
+    sy = _fetch_cells(grid.surface_data, ly)[..., 0]
+    sz = _fetch_cells(grid.surface_data, lz)[..., 0]
     ok = l0 >= 0
     dx = jnp.where(ok & (lx >= 0), sx - s0, 0.0)
     dy = jnp.where(ok & (ly >= 0), sy - s0, 0.0)
     dz = jnp.where(ok & (lz >= 0), sz - s0, 0.0)
     per_cell = jnp.sqrt(1e-5 + dx * dx + dy * dy + dz * dz)
     if alpha_weighted:
-        a0 = jax.nn.sigmoid(fetch_links(grid.density_data, l0)[..., 0])
+        a0 = jax.nn.sigmoid(_fetch_cells(grid.density_data, l0)[..., 0])
         per_cell = per_cell * jax.lax.stop_gradient(a0)
     return jnp.mean(per_cell)
 
@@ -157,7 +181,7 @@ def surface_normal_loss(
     ly = y[:, None, None, None] + oy[None]
     lz = z[:, None, None, None] + oz[None]
     links = _link_at(grid.links, lx, ly, lz)  # (n,3,3,3)
-    surf = fetch_links(grid.surface_data, links)[..., 0]  # (n,3,3,3)
+    surf = _fetch_cells(grid.surface_data, links)[..., 0]  # (n,3,3,3)
 
     def exists(i, j, k):
         """All 8 vertices of the cell at local offset (i,j,k) exist."""
@@ -248,8 +272,8 @@ def alpha_surf_sparsify_loss(
     sigmoid(-alpha)) where alpha is already low."""
     x, y, z = _cells_to_xyz(cells, grid.reso)
     l0 = _link_at(grid.links, x, y, z)
-    a_raw = fetch_links(grid.density_data, l0)[..., 0]
-    s = fetch_links(grid.surface_data, l0)[..., 0]
+    a_raw = _fetch_cells(grid.density_data, l0)[..., 0]
+    s = _fetch_cells(grid.surface_data, l0)[..., 0]
     # empty cells fetch zeros and contribute log(sigmoid(0)) like the twin
     # (svox2.py:5037-5048); their gradients are blocked by the masked gather
     # log_sigmoid == log(sigmoid(x)) but stable for very negative raw alphas
@@ -274,10 +298,10 @@ def surface_norm_match_loss(grid: SparseGrid, cells: jnp.ndarray):
     ok = l0 >= 0
 
     def diffs(data):
-        v0 = fetch_links(data, l0)[..., 0]
-        dx = jnp.where(lx >= 0, fetch_links(data, lx)[..., 0] - v0, 0.0)
-        dy = jnp.where(ly >= 0, fetch_links(data, ly)[..., 0] - v0, 0.0)
-        dz = jnp.where(lz >= 0, fetch_links(data, lz)[..., 0] - v0, 0.0)
+        v0 = _fetch_cells(data, l0)[..., 0]
+        dx = jnp.where(lx >= 0, _fetch_cells(data, lx)[..., 0] - v0, 0.0)
+        dy = jnp.where(ly >= 0, _fetch_cells(data, ly)[..., 0] - v0, 0.0)
+        dz = jnp.where(lz >= 0, _fetch_cells(data, lz)[..., 0] - v0, 0.0)
         g = jnp.stack([dx, dy, dz], -1)
         # safe normalize matching torch clamp_min(sqrt, 1e-8) backward:
         # below the clamp the denominator is constant (no grad), no NaN at 0
@@ -308,7 +332,7 @@ def surface_viscosity_loss(
     ok = (l0 >= 0) & (lpx >= 0) & (lmx >= 0) & (lpy >= 0) & (lmy >= 0) & (lpz >= 0) & (lmz >= 0)
 
     def S(l):
-        return fetch_links(grid.surface_data, l)[..., 0]
+        return _fetch_cells(grid.surface_data, l)[..., 0]
 
     s0 = S(l0)
     spx, smx, spy, smy, spz, smz = S(lpx), S(lmx), S(lpy), S(lmy), S(lpz), S(lmz)
@@ -462,7 +486,7 @@ def lumisphere_tv_loss(
     bd = grid.basis_dim
 
     def color(l, mult):
-        sh = fetch_links(grid.sh_data, l).reshape(-1, 3, bd)
+        sh = _fetch_cells(grid.sh_data, l).reshape(-1, 3, bd)
         return jnp.sum(sh * mult, -1)  # (n, 3)
 
     c0 = color(l0, sh_mult)
@@ -496,7 +520,7 @@ def surface_eikonal_loss(grid: SparseGrid, cells: jnp.ndarray, target: float = 1
         y[:, None, None, None] + oy[None],
         z[:, None, None, None] + oz[None],
     )
-    surf = fetch_links(grid.surface_data, links)[..., 0]  # (n,2,2,2)
+    surf = _fetch_cells(grid.surface_data, links)[..., 0]  # (n,2,2,2)
     ok = jnp.all(links.reshape(links.shape[0], -1) >= 0, -1)
     dx = jnp.mean(surf[:, 1] - surf[:, 0], axis=(-1, -2))
     dy = jnp.mean(surf[:, :, 1] - surf[:, :, 0], axis=(-1, -2))

@@ -39,10 +39,14 @@ def volume_render_cuvol(
     opt: RenderOptions,
     max_steps: int | None = None,
     return_depth: bool = False,
+    depth_sigma_thresh: float | None = None,
 ):
     """Render rays with fixed-step sigma ray-marching.
 
-    :return: dict with 'rgb' (B, 3) and optionally 'depth' (B,)
+    :return: dict with 'rgb' (B, 3), 'depth' (B,), and (when
+        ``depth_sigma_thresh`` is set) 'depth_sigma_thresh' — the t of the
+        first sample whose sigma strictly exceeds the threshold
+        (trace_ray_sigma_thresh, render_lerp_kernel_cuvol.cu)
     """
     if max_steps is None:
         max_steps = max_steps_for(grid, opt)
@@ -78,7 +82,7 @@ def volume_render_cuvol(
 
     @functools.partial(jax.checkpoint, prevent_cse=False)
     def step(carry, k):
-        log_T, rgb_acc, depth_acc = carry
+        log_T, rgb_acc, depth_acc, t_sig = carry
         t = tmin + k.astype(tmin.dtype) * opt.step_size
         active = t <= tmax
 
@@ -104,14 +108,18 @@ def volume_render_cuvol(
         rgb_acc = rgb_acc + weight[..., None] * rgb
         depth_acc = depth_acc + weight * t
         log_T = log_T + log_att
-        return (log_T, rgb_acc, depth_acc), None
+        if depth_sigma_thresh is not None:
+            hit = active & (sigma > depth_sigma_thresh)
+            t_sig = jnp.where(hit, jnp.minimum(t_sig, t), t_sig)
+        return (log_T, rgb_acc, depth_acc, t_sig), None
 
     init = (
         jnp.zeros(B, dtype=origins.dtype),
         jnp.zeros((B, 3), dtype=origins.dtype),
         jnp.zeros(B, dtype=origins.dtype),
+        jnp.full(B, jnp.inf, dtype=origins.dtype),
     )
-    (log_T, rgb_acc, depth_acc), _ = jax.lax.scan(
+    (log_T, rgb_acc, depth_acc, t_sig), _ = jax.lax.scan(
         step, init, jnp.arange(max_steps)
     )
 
@@ -122,4 +130,9 @@ def volume_render_cuvol(
             grid, opt, origins, dirs, delta_scale, log_T, rgb_acc
         )
     rgb_out = rgb_acc + jnp.exp(log_T)[..., None] * opt.background_brightness
-    return {"rgb": rgb_out, "log_transmit": log_T, "depth": depth_acc}
+    out = {"rgb": rgb_out, "log_transmit": log_T, "depth": depth_acc}
+    if depth_sigma_thresh is not None:
+        out["depth_sigma_thresh"] = jnp.where(
+            jnp.isfinite(t_sig), t_sig, 0.0
+        )
+    return out

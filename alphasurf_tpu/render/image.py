@@ -59,10 +59,48 @@ def _render_chunk(grid, origins, dirs, opt, surface: bool, renderer: str,
         else:
             out = volume_render_surface(grid, rays, opt)
             overflow = jnp.asarray(0, jnp.int32)
+        normal = out["normal"]
     else:
         out = volume_render_cuvol(grid, rays, opt)
         overflow = jnp.asarray(0, jnp.int32)
-    return out["rgb"], out["depth"], overflow
+        normal = jnp.zeros_like(out["rgb"])
+    return out["rgb"], out["depth"], normal, overflow
+
+
+def volume_render_depth(
+    grid: SparseGrid,
+    rays: Rays,
+    opt: RenderOptions,
+    sigma_thresh: float | None = None,
+    depth_type: str = "mean",
+    entries_per_ray: float = 16.0,
+):
+    """Depth rendering dispatcher, mirroring ``SparseGrid.
+    volume_render_depth`` (svox2.py:3693-3772): ``sigma_thresh=None`` gives
+    the expected ('mean'), max-weight ('mode') or median ('med')
+    termination; a threshold gives the first sample/intersection whose
+    (activated) alpha or sigma strictly exceeds it. Depths are in grid-t
+    units like every other depth output of this package."""
+    if grid.surface_data is not None:
+        out = volume_render_surface_packed(
+            grid, rays, opt, entries_per_ray=entries_per_ray,
+            depth_sigma_thresh=sigma_thresh,
+        )
+        if sigma_thresh is not None:
+            return out["depth_sigma_thresh"]
+        if depth_type == "mode":
+            return out["depth_mode"]
+        if depth_type == "med":
+            return out["depth_med"]
+        return out["depth"]
+    out = volume_render_cuvol(grid, rays, opt, depth_sigma_thresh=sigma_thresh)
+    if sigma_thresh is not None:
+        return out["depth_sigma_thresh"]
+    if depth_type != "mean":
+        raise NotImplementedError(
+            f"depth_type {depth_type!r} for the cuvol backend"
+        )
+    return out["depth"]
 
 
 def render_image(
@@ -71,13 +109,15 @@ def render_image(
     opt: RenderOptions,
     chunk: int = 16384,
     return_depth: bool = False,
+    return_normal: bool = False,
     renderer: str = "packed",
     max_intersect_voxels: int = 64,
     entries_per_ray: float = 16.0,
     entries_per_ray_max: float = 256.0,
     compact: bool | None = None,
 ):
-    """Render a full camera image; returns (H, W, 3) numpy (+ depth)."""
+    """Render a full camera image; returns (H, W, 3) numpy (+ depth,
+    + normal as requested)."""
     if compact is not None:  # back-compat boolean switch
         renderer = "compact" if compact else "dense"
     rays = camera.gen_rays()
@@ -91,6 +131,7 @@ def render_image(
     )
     rgb_out = np.zeros((n, 3), np.float32)
     depth_out = np.zeros((n,), np.float32)
+    normal_out = np.zeros((n, 3), np.float32)
     epr = float(2 ** int(np.ceil(np.log2(max(entries_per_ray, 1.0)))))
     for s in range(0, n, chunk):
         e = min(s + chunk, n)
@@ -102,7 +143,7 @@ def render_image(
             d = np.concatenate([d, np.repeat(d[-1:], pad, 0)])
         oj, dj = jnp.asarray(o), jnp.asarray(d)
         while True:
-            rgb, depth, overflow = _render_chunk(
+            rgb, depth, normal, overflow = _render_chunk(
                 grid, oj, dj, opt, surface, renderer,
                 max_intersect_voxels, epr, occ,
             )
@@ -111,7 +152,11 @@ def render_image(
             epr = min(entries_per_ray_max, epr * 2)  # sticky for later chunks
         rgb_out[s:e] = np.asarray(rgb)[: e - s]
         depth_out[s:e] = np.asarray(depth)[: e - s]
+        normal_out[s:e] = np.asarray(normal)[: e - s]
     rgb_img = rgb_out.reshape(camera.height, camera.width, 3)
+    outs = (rgb_img,)
     if return_depth:
-        return rgb_img, depth_out.reshape(camera.height, camera.width)
-    return rgb_img
+        outs += (depth_out.reshape(camera.height, camera.width),)
+    if return_normal:
+        outs += (normal_out.reshape(camera.height, camera.width, 3),)
+    return outs if len(outs) > 1 else rgb_img

@@ -131,12 +131,23 @@ def _init_state(B, dtype, cache_size, ray_ok):
 def pack_grid_data(grid: SparseGrid) -> jnp.ndarray:
     """Concatenate (density | surface | sh | pad) into one row-gatherable
     array [cap, C8] (C8 = channels padded to a multiple of 8). One fused
-    row gather is ~3x faster than three separate gathers on TPU."""
-    parts = [grid.density_data, grid.surface_data, grid.sh_data]
-    c = 2 + grid.sh_data.shape[1]
+    row gather is ~3x faster than three separate gathers on TPU.
+
+    Layout per surface type: the surface block is ``surface_data.shape[1]``
+    channels (1 for SDF/UDF, 4 for PLANE); for UDF_ALPHA the density block
+    is a zero placeholder (the real alphas live per level set in the
+    (n_lv, 1) density_data and are looked up by level-set index, not
+    gathered per corner — svox2.py:2318)."""
+    dtype = grid.sh_data.dtype
+    if grid.surface_type == defs.SURFACE_TYPE_UDF_ALPHA:
+        dens = jnp.zeros((grid.capacity, 1), dtype)
+    else:
+        dens = grid.density_data
+    parts = [dens, grid.surface_data, grid.sh_data]
+    c = 1 + grid.surface_data.shape[1] + grid.sh_data.shape[1]
     pad = (-c) % 8
     if pad:
-        parts.append(jnp.zeros((grid.capacity, pad), grid.density_data.dtype))
+        parts.append(jnp.zeros((grid.capacity, pad), dtype))
     return jnp.concatenate(parts, axis=1)
 
 
@@ -181,19 +192,22 @@ def _voxel_samples(
     o4 = origins[:, None, None, :]  # (B,1,1,3) broadcast over (voxel, slot)
     d4 = dirs[:, None, None, :]
 
+    n_surf_c = grid.surface_data.shape[1]
     links8 = gather_corner_links(grid.links, l)  # (B, V, 8)
     all_present = jnp.all(links8 >= 0, axis=-1)
     vox_ok = vox_ok & all_present
 
     v8 = _gather_rows(packed, links8, dtype)  # (B, V, 8, C8)
     alpha8 = v8[..., 0]  # (B, V, 8)
-    # corner raw-alpha prefilter (surf_trav.cu:230-239)
-    vox_ok = vox_ok & jnp.any(alpha8 >= opt.sigma_thresh, axis=-1)
+    # corner raw-alpha prefilter (surf_trav.cu:230-239); UDF_ALPHA stores
+    # alphas per level set, not per corner, so the test is done per slot
+    if grid.surface_type != defs.SURFACE_TYPE_UDF_ALPHA:
+        vox_ok = vox_ok & jnp.any(alpha8 >= opt.sigma_thresh, axis=-1)
 
-    surf8 = v8[..., 1]  # (B, V, 8)
+    surf8 = v8[..., 1]  # (B, V, 8) scalar field (first channel for PLANE)
     if grid.surface_type in _UDF_TYPES:
         surf8 = jax.nn.softplus(surf8)
-    sh8 = v8[..., 2 : 2 + 3 * grid.basis_dim]  # (B, V, 8, 3*bd)
+    sh8 = v8[..., 1 + n_surf_c : 1 + n_surf_c + 3 * grid.basis_dim]
 
     u = o3 + close_t[..., None] * d3 - l.astype(dtype)  # (B, V, 3)
     f0, f1, f2, f3 = cubic_coeffs(surf8, u, d3)  # each (B, V)
@@ -215,28 +229,92 @@ def _voxel_samples(
         sh_r * sh_mult[:, None, None, None, :], axis=-1
     )  # (B, V, 8, 3)
 
-    # ---- real intersections, vectorized over the 3 roots per level set ----
-    root_chunks, lv_ok_list = [], []
-    for i in range(n_lv):
-        lv = grid.level_set_data[i]
-        lv_ok = vox_ok & (lv >= smin) & (lv <= smax)  # (B, V)
-        lv_ok_list.append(lv_ok)
-        roots = cubic_roots(f0 - lv, f1, f2, f3)  # (B, V, 3)
-        root_chunks.append(roots)
-    roots = jnp.concatenate(root_chunks, axis=2)  # (B, V, 3*n_lv)
-    lv_ok_s = jnp.concatenate(
-        [g[..., None].repeat(3, axis=2) for g in lv_ok_list], axis=2
-    )  # (B, V, 3*n_lv)
-    vox_has_surf = jnp.any(jnp.stack(lv_ok_list, -1), -1)  # (B, V)
+    if grid.surface_type == defs.SURFACE_TYPE_VOXEL_FACE:
+        # one sample per voxel crossing at the entry plane; alpha is the
+        # 000-corner raw value through a hard sigmoid, rgb trilerped at the
+        # crossing point (svox2.py:1670-1745). Samples outside the strict
+        # lattice interior are dropped like the reference's within_grid
+        # filter (svox2.py:1686, atol=1e-6) — this excludes entries at the
+        # grid boundary (tnear). Deliberate deviations from the reference
+        # debug path: compositing is t-ordered (the reference composites in
+        # x/y/z plane-family order) and the voxel is the one being ENTERED
+        # for negative directions (the reference floors the on-plane
+        # position, yielding the exited voxel).
+        epos = o3 + close_t[..., None] * d3  # (B, V, 3) grid coords
+        gsz = jnp.asarray(grid.reso, dtype)
+        inside = jnp.all(epos >= 1e-6, -1) & jnp.all(
+            epos <= gsz - 1.0 - 1e-6, -1
+        )
+        efrac = epos - l.astype(dtype)
+        efrac = jnp.clip(jnp.where(vox_ok[..., None], efrac, 0.5), 0.0, 1.0)
+        ew8 = trilerp_weights(efrac)  # (B, V, 8)
+        ergb = jnp.clip(jnp.sum(ew8[..., None] * corner_rgb, axis=2) + 0.5,
+                        min=0.0)
+        ealpha = jax.nn.sigmoid(alpha8[..., 0])  # corner 000, svox2.py:1726
+        contrib = vox_ok & inside & (close_t >= near_grid_t)
+        return {
+            "t": close_t,
+            "alpha": ealpha,
+            "rgb": ergb,
+            "contrib": contrib,
+            "fake": jnp.zeros_like(contrib),
+            "snorm": jnp.zeros((B, V, 3), dtype),
+            "snorm_in": jnp.zeros((B, V, 3), dtype),
+            "counted": contrib.astype(jnp.int32),
+            "vox_ok": vox_ok,
+            "surf8": surf8,
+            "n_slots": 1,
+        }
+
+    # ---- real intersections ----
+    if grid.surface_type == defs.SURFACE_TYPE_PLANE:
+        # plane surface: mean of the 8 corner planes (a,b,c,d), d clamped
+        # so the plane stays near its voxel, single linear root in GLOBAL
+        # grid coords (svox2.py:2254-2288)
+        plane = jnp.mean(v8[..., 1:5], axis=2)  # (B, V, 4)
+        abc = plane[..., :3]
+        xyz_term = jnp.sum((l.astype(dtype) + 0.5) * abc, -1)
+        th = 0.3
+        dpl = jnp.clip(plane[..., 3], -th - xyz_term, th - xyz_term)
+        denom = jnp.sum(abc * d3, -1)
+        denom = jnp.where(jnp.abs(denom) < 1e-12, 1e-12, denom)
+        t_pl = -(jnp.sum(abc * o3, -1) + dpl) / denom  # global t (B, V)
+        roots = (t_pl - close_t)[..., None]  # (B, V, 1) slot axis
+        lv_ok_s = vox_ok[..., None] & (t_pl[..., None] > 0)
+        vox_has_surf = vox_ok
+        # accept roots at/just before the slab entry (the reference's
+        # validity is purely spatial: sample within [l, l+1])
+        root_pos = roots > -1e-6
+        plane_grad = abc
+    else:
+        root_chunks, lv_ok_list = [], []
+        for i in range(n_lv):
+            lv = grid.level_set_data[i]
+            lv_ok = vox_ok & (lv >= smin) & (lv <= smax)  # (B, V)
+            lv_ok_list.append(lv_ok)
+            root3 = cubic_roots(f0 - lv, f1, f2, f3)  # (B, V, 3)
+            root_chunks.append(root3)
+        roots = jnp.concatenate(root_chunks, axis=2)  # (B, V, 3*n_lv)
+        lv_ok_s = jnp.concatenate(
+            [g[..., None].repeat(3, axis=2) for g in lv_ok_list], axis=2
+        )  # (B, V, 3*n_lv)
+        vox_has_surf = jnp.any(jnp.stack(lv_ok_list, -1), -1)  # (B, V)
+        root_pos = roots > 0
+        plane_grad = None
 
     t_real = close_t[..., None] + roots  # global t per slot (B, V, S0)
     frac = o4 + t_real[..., None] * d4 - l[:, :, None, :].astype(dtype)
     in_cube = jnp.all(frac >= 0, -1) & jnp.all(frac <= 1, -1)
-    geo_ok = lv_ok_s & (roots > 0) & in_cube & (t_real >= near_grid_t)
+    geo_ok = lv_ok_s & root_pos & in_cube & (t_real >= near_grid_t)
     # vox_has_sample set before outward test (surf_trav.cu:348)
     vox_has_sample = jnp.any(geo_ok, axis=-1)  # (B, V)
     frac_safe = jnp.clip(jnp.where(geo_ok[..., None], frac, 0.5), 0.0, 1.0)
-    sgrad = trilerp_field_grad(surf8[:, :, None, :], frac_safe)  # (B,V,S0,3)
+    if plane_grad is not None:
+        sgrad = jnp.broadcast_to(
+            plane_grad[:, :, None, :], (*frac_safe.shape[:3], 3)
+        )
+    else:
+        sgrad = trilerp_field_grad(surf8[:, :, None, :], frac_safe)  # (B,V,S0,3)
     if opt.only_outward_intersect:
         geo_ok = geo_ok & (jnp.sum(sgrad * d4, axis=-1) > 0)
     nsq = jnp.sum(sgrad * sgrad, axis=-1, keepdims=True)
@@ -244,6 +322,13 @@ def _voxel_samples(
 
     w8 = trilerp_weights(frac_safe)  # (B, V, S0, 8)
     raw_a = jnp.sum(w8 * alpha8[:, :, None, :], axis=-1)  # (B, V, S0)
+    if grid.surface_type == defs.SURFACE_TYPE_UDF_ALPHA:
+        # one learnable alpha per level set, looked up by the slot's level
+        # set instead of trilerped (svox2.py:2318-2322)
+        lv_alpha = grid.density_data[:, 0]  # (n_lv,)
+        raw_a = jnp.broadcast_to(
+            jnp.repeat(lv_alpha, 3)[None, None, :], raw_a.shape
+        )
     if opt.no_surf_grad_from_sh:
         # Cut the color->surface gradient path through the SH interpolation
         # position (surf_trav.cu:2250-2264 guarded by no_surf_grad_from_sh);
@@ -263,8 +348,11 @@ def _voxel_samples(
     snorm_in = snorm_s
 
     # ---- fake sample (surf_trav.cu:423-541), appended as each voxel's last
-    # slot (slot order keeps voxel-major compositing order intact) ----
-    if opt.surf_fake_sample:
+    # slot (slot order keeps voxel-major compositing order intact).
+    # Scalar surface fields only: the Gaussian reweight is defined on the
+    # trilinear surface value (PLANE has no such field; the reference's
+    # fake-sample branch likewise assumes scalar corners). ----
+    if opt.surf_fake_sample and grid.surface_type != defs.SURFACE_TYPE_PLANE:
         take = vox_ok & ~vox_has_sample & (
             (far_t - close_t) > opt.surf_fake_sample_min_vox_len
         )
@@ -276,8 +364,6 @@ def _voxel_samples(
         fw8 = trilerp_weights(ffrac)  # (B, V, 8)
         fraw = jnp.sum(fw8 * alpha8, axis=-1)
         frgb = jnp.clip(jnp.sum(fw8[..., None] * corner_rgb, axis=2) + 0.5, min=0.0)
-        take = take & (fraw > opt.sigma_thresh)
-        falpha = surf_alpha_act(fraw, opt.alpha_activation_type)
         mu = jnp.mean(surf8, axis=-1)
         var = jnp.mean((surf8 - mu[..., None]) ** 2, axis=-1)
         std = jnp.sqrt(jnp.clip(var, min=1e-9))
@@ -288,6 +374,11 @@ def _voxel_samples(
         dists = s_norm[..., None] - grid.level_set_data[None, None, :]
         amin = jnp.argmin(jnp.abs(dists), axis=-1)
         fake_dist = jnp.take_along_axis(dists, amin[..., None], axis=-1)[..., 0]
+        if grid.surface_type == defs.SURFACE_TYPE_UDF_ALPHA:
+            # nearest level set's learnable alpha (svox2.py:2318)
+            fraw = jnp.take(grid.density_data[:, 0], amin)
+        take = take & (fraw > opt.sigma_thresh)
+        falpha = surf_alpha_act(fraw, opt.alpha_activation_type)
         falpha = falpha * jnp.exp(-0.5 * (fake_dist / fs_std) ** 2)
         t_s = jnp.concatenate([t_s, tf[..., None]], axis=2)
         alpha_s = jnp.concatenate([alpha_s, falpha[..., None]], axis=2)
@@ -723,7 +814,13 @@ def voxel_occupancy(grid: SparseGrid, opt: RenderOptions) -> jnp.ndarray:
     # dense vertex fields
     present = links >= 0
     safe = jnp.clip(links, 0, grid.capacity - 1)
-    dens = jnp.where(present, grid.density_data[safe, 0], -jnp.inf)
+    if grid.surface_type == defs.SURFACE_TYPE_UDF_ALPHA:
+        # per-level-set alphas: the corner test degenerates to a scalar
+        dens = jnp.where(
+            present, jnp.max(grid.density_data), -jnp.inf
+        )
+    else:
+        dens = jnp.where(present, grid.density_data[safe, 0], -jnp.inf)
     surf = jnp.where(present, grid.surface_data[safe, 0], 0.0)
     if grid.surface_type in _UDF_TYPES:
         surf = jax.nn.softplus(surf)
@@ -742,7 +839,13 @@ def voxel_occupancy(grid: SparseGrid, opt: RenderOptions) -> jnp.ndarray:
     all_present = corners(present, jnp.logical_and, None)
     any_alpha = corners(dens, jnp.maximum, None) >= opt.sigma_thresh
     occ = all_present & any_alpha
-    if not (opt.surf_fake_sample and not opt.limited_fake_sample):
+    # the level-set hull filter only applies to scalar surface fields;
+    # PLANE voxels always carry a (d-clamped) in-voxel plane and
+    # VOXEL_FACE samples every crossing (svox2.py:1670-1745, 2254-2288)
+    scalar_surface = grid.surface_type not in (
+        defs.SURFACE_TYPE_PLANE, defs.SURFACE_TYPE_VOXEL_FACE
+    )
+    if scalar_surface and not (opt.surf_fake_sample and not opt.limited_fake_sample):
         smin = corners(surf, jnp.minimum, None)
         smax = corners(surf, jnp.maximum, None)
         lv = grid.level_set_data
@@ -1240,6 +1343,7 @@ def volume_render_surface_packed(
     return_intersections: bool = False,
     coarse_factor: int = 8,
     supers_per_ray: float = 8.0,
+    depth_sigma_thresh: float | None = None,
 ):
     """Packed production renderer: identical math to
     ``volume_render_surface_compact`` but with the per-ray K-slot padding
@@ -1363,6 +1467,32 @@ def volume_render_surface_packed(
     t_mode = seg_max(jnp.where(is_best, t_best_e, -jnp.inf), seg_id)
     t_mode = jnp.where(jnp.isfinite(t_mode), t_mode, 0.0)
 
+    seg_min = functools.partial(
+        jax.ops.segment_min, num_segments=B, indices_are_sorted=True
+    )
+    INF = jnp.asarray(jnp.inf, dtype)
+    # cache-free median depth: first t where cumulative weight crosses half
+    # the ray total (trace_ray_med_term semantics; the dense path needs the
+    # bounded sample cache for this, here the global prefix gives it free)
+    preW, totW = ray_excl_prefix(weight_s)
+    med_hit = (
+        contrib
+        & ((preW + weight_s) >= 0.5 * jnp.take(totW, rid)[:, None])
+        & (jnp.take(totW, rid)[:, None] > 1e-12)
+    )
+    t_med = seg_min(jnp.min(jnp.where(med_hit, t_s, INF), axis=1), seg_id)
+    t_med = jnp.where(jnp.isfinite(t_med), t_med, 0.0)
+
+    # sigma-thresh depth: first REAL intersection whose activated alpha
+    # exceeds the threshold (trace_ray_sigma_thresh, surf_trav.cu:1003-1109
+    # — walks intersections in order, no fake samples, pre-truncation alpha)
+    if depth_sigma_thresh is not None:
+        st_hit = contrib & ~fake_s & (alpha_s > depth_sigma_thresh)
+        t_sig = seg_min(
+            jnp.min(jnp.where(st_hit, t_s, INF), axis=1), seg_id
+        )
+        t_sig = jnp.where(jnp.isfinite(t_sig), t_sig, 0.0)
+
     # streaming losses
     acc = _init_state(B, dtype, cache_size, ray_ok)["acc"]
     if opt.fake_sample_l_dist:
@@ -1451,6 +1581,9 @@ def volume_render_surface_packed(
     # wrong for tail rays — the trainer must grow budgets and retry; the
     # step function refuses to apply an update when this fires)
     out["pool_overflow"] = drop_count
+    out["depth_med"] = t_med  # cache-free; overrides _finalize's cached one
+    if depth_sigma_thresh is not None:
+        out["depth_sigma_thresh"] = t_sig
     if return_intersections:
         # real-intersection point cloud in world coords, the 'intersections'
         # / 'intersect_alphas' output of the oracle (svox2.py:2746-2761)

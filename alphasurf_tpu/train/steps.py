@@ -110,6 +110,10 @@ class StepConfig:
     use_lumisphere_tv: bool = False
     use_two_pass_losses: bool = False  # enable cache-based conv/samp losses
     renderer: str = "packed"  # 'packed' | 'compact' | 'dense'
+    # clamp on the surface gradient (opt.py:932-936). Deviation: the
+    # reference clips the render-loss grad before adding reg-kernel grads;
+    # here the step is one fused jax.grad, so the clip applies to the total
+    surf_grad_abs_max: Optional[float] = None
     max_intersect_voxels: int = 64  # K for the compacted path
     voxel_chunk: int = 8  # voxels per scan step in the compacted path
     entries_per_ray: float = 8.0  # global pool budget for 'packed'
@@ -314,6 +318,9 @@ def make_surface_step(cfg: StepConfig):
             loss_fn, argnums=(0, 1, 2, 3, 4), has_aux=True
         )(grid.density_data, grid.sh_data, grid.surface_data, fss_in, aux_in)
         g_density, g_sh, g_surface, g_fss, g_aux = grads
+        if cfg.surf_grad_abs_max is not None:
+            thresh = abs(cfg.surf_grad_abs_max)
+            g_surface = jnp.clip(g_surface, -thresh, thresh)
 
         beta = cfg.rms_beta
         new_density, rms_d = rmsprop_step(

@@ -48,6 +48,15 @@ class Trainer:
             except Exception:
                 pass
         self.log_lines = []
+        # dump the effective config for reproducibility (opt.py:81-86)
+        try:
+            import dataclasses as _dc
+
+            with open(path.join(cfg.train_dir, "args.yaml"), "w") as f:
+                for k, v in sorted(_dc.asdict(cfg).items()):
+                    f.write(f"{k}: {v!r}\n")
+        except Exception:
+            pass
         self._build_grid()
         self._build_schedules()
         self.rms = init_rms(self.grid)
@@ -202,6 +211,7 @@ class Trainer:
             sparsify_surf_thresh=cfg.sparsify_surf_thresh,
             surf_tv_alpha_weighted=cfg.surf_tv_alpha_dependency,
             rms_beta=cfg.rms_beta,
+            surf_grad_abs_max=cfg.surf_grad_abs_max,
             use_two_pass_losses=(cfg.lambda_conv_mode_samp > 0 or cfg.lambda_l_samp_dist > 0),
             renderer=cfg.surface_renderer,
             entries_per_ray=self._entries_per_ray,
@@ -477,11 +487,34 @@ class Trainer:
                     fake_sample_std=jnp.full((1, 1), self.fake_sample_std_func(self.gstep),
                                              g.density_data.dtype)
                 )
+            a_now = self.trunc_vol_a_func(self.gstep)
             g = g.replace(
-                truncated_vol_render_a=jnp.asarray(
-                    self.trunc_vol_a_func(self.gstep), g.density_data.dtype
-                )
+                truncated_vol_render_a=jnp.asarray(a_now, g.density_data.dtype)
             )
+            if (
+                cfg.trunc_vol_render_lv_remove
+                and cfg.truncated_vol_render
+                and g.surface_data is not None
+                and g.level_set_data.shape[0] > 1
+            ):
+                # drop level sets whose truncated-vol reweight has decayed
+                # to nothing (opt.py:726-735); density is bumped so the
+                # surviving sets can keep training
+                ids = np.arange(g.level_set_data.shape[0])
+                x = np.clip(a_now - ids, 0.0, 1.0)
+                rws = 0.5 * (1.0 - np.cos(np.pi * x))
+                keep = rws > 1e-20
+                if keep.sum() < len(ids):
+                    n_rm = int(len(ids) - keep.sum())
+                    g = g.replace(
+                        level_set_data=g.level_set_data[jnp.asarray(keep)],
+                        density_data=g.density_data
+                        + cfg.trunc_vol_lv_rm_density_add * n_rm,
+                    )
+                    self.log(
+                        f"[stage] trunc_vol_render_lv_remove: {n_rm} level "
+                        f"set(s) dropped at step {self.gstep} (a={a_now:.3f})"
+                    )
             self.grid = g
 
             kind = "cuvol" if (no_surface or g.surface_data is None) else "surface"
@@ -553,6 +586,9 @@ class Trainer:
 
     # ---------------- eval / io ----------------
     def eval_step(self, final: bool = False):
+        """Test-view evaluation: PSNR + SSIM (+ LPIPS when weights exist),
+        TB image/depth/normal/mse-map logging — opt.py:443-538's artifact
+        set. Final evals write a per-view breakdown to eval_views.txt."""
         cfg = self.cfg
         dset = self.dset_test or self.dset
         n_views = dset.n_images if final and cfg.final_render_eval else min(
@@ -560,8 +596,18 @@ class Trainer:
         )
         if n_views == 0:
             return None
+        from ..utils.lpips import make_lpips
+        from ..utils.metrics import compute_ssim, viridis_cmap
+
+        lpips_fn = make_lpips() if final else None
         opt = render_options_from(cfg, no_surface=self.grid.surface_data is None)
-        psnrs = []
+        want_depth = cfg.log_depth_map and self.summary_writer is not None
+        want_normal = (
+            cfg.log_normal_map
+            and self.grid.surface_data is not None
+            and self.summary_writer is not None
+        )
+        psnrs, ssims, lpipss, lines = [], [], [], []
         for i in np.linspace(0, dset.n_images - 1, n_views).astype(int):
             cam = Camera.make(
                 dset.c2w[i],
@@ -569,12 +615,63 @@ class Trainer:
                 cx=dset.intrins_full.cx, cy=dset.intrins_full.cy,
                 width=dset.w_full, height=dset.h_full,
             )
-            img = render_image(self.grid, cam, opt)
-            gt = dset.gt[i]
-            mse = float(np.mean((img - gt) ** 2))
-            psnrs.append(-10.0 * math.log10(max(mse, 1e-12)))
+            outs = render_image(
+                self.grid, cam, opt,
+                return_depth=want_depth, return_normal=want_normal,
+            )
+            if want_depth or want_normal:
+                img = outs[0]
+                depth = outs[1] if want_depth else None
+                normal = outs[-1] if want_normal else None
+            else:
+                img, depth, normal = outs, None, None
+            gt = np.asarray(dset.gt[i])
+            mse_map = (img - gt) ** 2
+            mse = float(np.mean(mse_map))
+            p = -10.0 * math.log10(max(mse, 1e-12))
+            psnrs.append(p)
+            s = compute_ssim(img, gt)
+            ssims.append(s)
+            if lpips_fn is not None:
+                lpipss.append(float(lpips_fn(img, gt)))
+            lines.append(f"{int(i)} {p:.4f} {s:.4f}")
+            sw = self.summary_writer
+            if sw is not None:
+                sw.add_image(f"test/image_{int(i):04d}",
+                             np.clip(img, 0, 1), self.gstep,
+                             dataformats="HWC")
+                if cfg.log_mse_image:
+                    sw.add_image(f"test/mse_map_{int(i):04d}",
+                                 mse_map / max(mse_map.max(), 1e-12),
+                                 self.gstep, dataformats="HWC")
+                if want_depth:
+                    sw.add_image(f"test/depth_map_{int(i):04d}",
+                                 viridis_cmap(depth), self.gstep,
+                                 dataformats="HWC")
+                if want_normal:
+                    n_img = normal / np.clip(
+                        np.linalg.norm(normal, axis=-1, keepdims=True), 1e-8,
+                        None,
+                    )
+                    sw.add_image(f"test/normal_map_{int(i):04d}",
+                                 n_img * 0.5 + 0.5, self.gstep,
+                                 dataformats="HWC")
         mean_psnr = float(np.mean(psnrs))
-        self.log(f"eval stats: step={self.gstep} psnr={mean_psnr:.3f}")
+        mean_ssim = float(np.mean(ssims))
+        extra = f" lpips={np.mean(lpipss):.4f}" if lpipss else ""
+        self.log(
+            f"eval stats: step={self.gstep} psnr={mean_psnr:.3f} "
+            f"ssim={mean_ssim:.4f}{extra}"
+        )
+        if self.summary_writer is not None:
+            self.summary_writer.add_scalar("test/psnr", mean_psnr, self.gstep)
+            self.summary_writer.add_scalar("test/ssim", mean_ssim, self.gstep)
+        if final:
+            # per-view breakdown + the test_psnr.txt protocol
+            with open(path.join(cfg.train_dir, "eval_views.txt"), "w") as f:
+                f.write("view psnr ssim\n" + "\n".join(lines) + "\n")
+            with open(path.join(cfg.train_dir, "test_psnr.txt"), "w") as f:
+                f.write(f"{mean_psnr}\n")
         return mean_psnr
 
     def save(self):

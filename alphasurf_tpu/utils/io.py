@@ -51,11 +51,31 @@ def load_grid(path: str, dtype=jnp.float32) -> tuple[SparseGrid, int]:
     sh_data = z["sh_data"].astype(np.float32)
     density_data = z["density_data"].astype(np.float32)
     links = z["links"]
+
+    # normalize to flat-ordered row numbering (this package's invariant:
+    # links values increase along the flattened grid, which lets the reg
+    # losses use the scatter-free contiguous-window VJP,
+    # core.grid.fetch_links_contiguous). External checkpoints (e.g. the
+    # reference's Morton-sorted resample output) may violate it.
+    lf = links.reshape(-1)
+    occ_rows = lf[lf >= 0]
+    row_perm = None
+    if occ_rows.size and np.any(np.diff(occ_rows) < 0):
+        row_perm = occ_rows  # old row id at each flat-ordered position
+        sh_data = sh_data[row_perm]
+        if density_data.shape[0] == occ_rows.size:
+            density_data = density_data[row_perm]
+        lf2 = np.full_like(lf, -1)
+        lf2[lf >= 0] = np.arange(occ_rows.size, dtype=np.int32)
+        links = lf2.reshape(links.shape)
     surface_type = int(z["surface_type"]) if "surface_type" in z else defs.SURFACE_TYPE_NONE
     surface = None
     level_sets = None
     if surface_type != defs.SURFACE_TYPE_NONE and "surface_data" in z:
-        surface = jnp.asarray(z["surface_data"].astype(np.float32), dtype)
+        sd = z["surface_data"].astype(np.float32)
+        if row_perm is not None and sd.shape[0] == row_perm.size:
+            sd = sd[row_perm]
+        surface = jnp.asarray(sd, dtype)
     if "level_set_data" in z:
         level_sets = jnp.asarray(z["level_set_data"].astype(np.float32), dtype)
     fss = None

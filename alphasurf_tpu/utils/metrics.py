@@ -71,3 +71,30 @@ def compute_ssim(
     numer = (2 * mu01 + c1) * (2 * sigma01 + c2)
     denom = (mu00 + mu11 + c1) * (sigma00 + sigma11 + c2)
     return float(np.mean(numer / denom))
+
+
+# 16-anchor viridis LUT (matplotlib control points), linearly interpolated —
+# replaces opt/util/util.py:viridis_cmap without a matplotlib dependency
+_VIRIDIS = np.array([
+    [0.267004, 0.004874, 0.329415], [0.282623, 0.140926, 0.457517],
+    [0.253935, 0.265254, 0.529983], [0.206756, 0.371758, 0.553117],
+    [0.163625, 0.471133, 0.558148], [0.127568, 0.566949, 0.550556],
+    [0.134692, 0.658636, 0.517649], [0.266941, 0.748751, 0.440573],
+    [0.477504, 0.821444, 0.318195], [0.741388, 0.873449, 0.149561],
+    [0.993248, 0.906157, 0.143936],
+], np.float32)
+
+
+def viridis_cmap(gray: np.ndarray) -> np.ndarray:
+    """Map a (H, W) array to (H, W, 3) viridis colors, normalizing to the
+    finite min/max like the reference's ``viridis_cmap``."""
+    g = np.asarray(gray, np.float32)
+    finite = np.isfinite(g)
+    lo = g[finite].min() if finite.any() else 0.0
+    hi = g[finite].max() if finite.any() else 1.0
+    t = np.clip((g - lo) / max(hi - lo, 1e-12), 0.0, 1.0)
+    t = np.nan_to_num(t)
+    x = t * (len(_VIRIDIS) - 1)
+    i0 = np.clip(x.astype(np.int32), 0, len(_VIRIDIS) - 2)
+    f = (x - i0)[..., None]
+    return _VIRIDIS[i0] * (1 - f) + _VIRIDIS[i0 + 1] * f

@@ -160,12 +160,19 @@ def main():
 
     occ_state = {"occ": occ_fn(grid, opt)}
 
+    # batches cycle over the CENTRAL 60% of the image: row-major ray order
+    # means the first/last rows are empty sky, and a benchmark that renders
+    # nothing measures only phase A (r2's bench had loss=0.25 = pure
+    # background on its first batch — every batch must carry real crossings)
+    lo = int(n_rays * 0.2)
+    span = int(n_rays * 0.6) - batch
+
     def run_batch(grid, rms, i):
         # refresh the occupancy skip structure every 16 steps, as a real
         # training loop would (trainer occ_refresh_every)
         if i > 0 and i % 16 == 0:
             occ_state["occ"] = occ_fn(grid, opt)
-        s = (i * batch) % (n_rays - batch)
+        s = lo + (i * batch) % max(span, 1)
         r = at.Rays(
             jax.lax.dynamic_slice_in_dim(origins, s, batch),
             jax.lax.dynamic_slice_in_dim(dirs, s, batch),

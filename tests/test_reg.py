@@ -9,9 +9,13 @@ from ref_oracle import grid_to_jax, make_ref_grid
 
 
 def _cells(g, n=64, seed=0):
+    # contiguous window: the production sampling (reg.sample_cells mirrors
+    # svox2.py:6335 contiguous=True) and the contract of the scatter-free
+    # reg VJP (core.grid.fetch_links_contiguous)
     rng = np.random.default_rng(seed)
     total = int(np.prod(g.links.shape))
-    return rng.integers(0, total, n).astype(np.int64)
+    start = int(rng.integers(0, total - n))
+    return (start + np.arange(n)).astype(np.int64)
 
 
 def test_normal_loss_matches_twin():
