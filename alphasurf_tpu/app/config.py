@@ -195,6 +195,15 @@ class Config:
     entries_per_ray_max: float = 256.0
     supers_per_ray: float = 8.0
 
+    # --- multi-device (TPU-native; no reference analog, SURVEY §2.4) ---
+    # number of mesh devices for data-parallel ray sharding: 1 = single
+    # device, 0 = all visible devices. Grid params are replicated (or
+    # tile-sharded over mesh_model rows); gradient psum over ICI is
+    # inserted by XLA from the sharding annotations.
+    n_devices: int = 1
+    # model-axis size for tile-sharding packed grid rows (>HBM grids)
+    mesh_model: int = 1
+
     # --- thresholds / upsampling ---
     thresh_type: str = "weight"
     weight_thresh: float = 0.0005 * 512

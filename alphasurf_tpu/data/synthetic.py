@@ -82,12 +82,19 @@ class SyntheticDataset(DatasetBase):
         seed: int = 0,
         epoch_size=None,
         permutation: bool = True,
+        renderer: str = "dense",
         **kwargs,
     ):
         super().__init__()
+        import functools
+
+        import jax
         import jax.numpy as jnp
 
-        from ..render.surface import volume_render_surface
+        from ..render.surface import (
+            volume_render_surface,
+            volume_render_surface_packed,
+        )
 
         n_images = 20 if n_images is None else n_images
         self.permutation = permutation
@@ -99,6 +106,15 @@ class SyntheticDataset(DatasetBase):
         opt = RenderOptions(
             sigma_thresh=-1e9, stop_thresh=-1.0, only_outward_intersect=True
         )
+        if renderer == "packed":
+            # fast GT path for larger reso (bench_scaling / dryrun): the
+            # packed pool renderer matches the dense walk bit-exactly while
+            # the pool holds all crossings
+            render = jax.jit(functools.partial(
+                volume_render_surface_packed, entries_per_ray=16.0
+            ), static_argnums=2)
+        else:
+            render = functools.partial(volume_render_surface)
         rng = np.random.default_rng(seed + (0 if split == "train" else 1))
         focal = 1.2 * width
         c2ws, imgs = [], []
@@ -108,7 +124,7 @@ class SyntheticDataset(DatasetBase):
             c2w = pose_spherical(az, el, 2.7)
             cam = Camera.make(c2w, fx=focal, width=width, height=height)
             rays = cam.gen_rays()
-            out = volume_render_surface(gt_grid, rays, opt)
+            out = render(gt_grid, rays, opt)
             imgs.append(np.asarray(out["rgb"]).reshape(height, width, 3))
             c2ws.append(c2w)
         self.c2w = np.stack(c2ws)

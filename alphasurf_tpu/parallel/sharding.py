@@ -27,6 +27,85 @@ def make_mesh(n_devices: Optional[int] = None, axis: str = "data") -> Mesh:
     return Mesh(np.asarray(devs[:n]).reshape(n), (axis,))
 
 
+def make_sharded_surface_step(cfg, mesh: Mesh, axis: str = "data",
+                              kind: str = "surface"):
+    """Data-parallel train step via shard_map: each device runs the FULL
+    packed render pipeline on its local ray shard — phase A enumeration,
+    pool compaction, sort and segment reductions all stay device-local
+    (a per-device pool of (B/n)*entries_per_ray, the multi-chip analog of
+    the warp-per-ray grid launch) — and only the gradients cross the mesh
+    (pmean over ICI, inserted inside the step; see StepConfig.axis_name).
+
+    This is the production multi-chip path. GSPMD auto-partitioning of the
+    same step (``shard_surface_step``) lets XLA slice the global pool ops
+    (sort/cumsum/searchsorted) across devices, which generates pathological
+    all-gathers — measured ~70x slower at 8 devices.
+    """
+    import dataclasses
+
+    import jax.numpy as jnp
+    from jax.experimental.shard_map import shard_map
+
+    from ..train.steps import make_cuvol_step, make_surface_step
+
+    cfg = dataclasses.replace(cfg, axis_name=axis)
+    maker = make_surface_step if kind == "surface" else make_cuvol_step
+    impl = maker(cfg, jit=False)
+
+    repl = P()
+    rayspec = P(axis)
+
+    def spec_of(x, s):
+        return jax.tree_util.tree_map(lambda _: s, x)
+
+    _cache = {}
+
+    def _build(grid, rms, rays, hp, has_occ):
+        in_specs = (
+            spec_of(grid, repl), spec_of(rms, repl), spec_of(rays, rayspec),
+            rayspec, spec_of(hp, repl), repl,
+        ) + ((repl,) if has_occ else ())
+        out_specs = (spec_of(grid, repl), spec_of(rms, repl),
+                     {"loss": repl, "mse": repl}
+                     | ({"pool_overflow": repl} if kind == "surface" else {}))
+
+        if kind == "surface" and has_occ:
+            def body(grid, rms, rays, rgb_gt, hp, key, occ):
+                return impl(grid, rms, rays, rgb_gt, hp, key, occ=occ)
+        else:
+            def body(grid, rms, rays, rgb_gt, hp, key):
+                return impl(grid, rms, rays, rgb_gt, hp, key)
+
+        fn = shard_map(
+            body, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+            check_rep=False,
+        )
+        return jax.jit(fn, donate_argnums=(0, 1))
+
+    repl_sh = NamedSharding(mesh, P())
+    rays_sh = NamedSharding(mesh, P(axis))
+
+    def wrapped(grid, rms, rays, rgb_gt, hp, key, occ=None):
+        # cache the jitted shard_map by the arg pytree structure (occ
+        # presence / rays.masks presence / rms key set)
+        ck = (occ is not None, rays.masks is not None, tuple(sorted(rms)),
+              grid.surface_data is not None)
+        if ck not in _cache:
+            _cache[ck] = _build(grid, rms, rays, hp, occ is not None)
+        # place inputs on the mesh (no-op when already there: params come
+        # back replicated from the previous step)
+        grid = jax.device_put(grid, repl_sh)
+        rms = jax.device_put(rms, repl_sh)
+        rays = jax.tree_util.tree_map(lambda x: jax.device_put(x, rays_sh), rays)
+        rgb_gt = jax.device_put(rgb_gt, rays_sh)
+        args = (grid, rms, rays, rgb_gt, hp, key) + (
+            (jax.device_put(occ, repl_sh),) if occ is not None else ()
+        )
+        return _cache[ck](*args)
+
+    return wrapped
+
+
 def shard_surface_step(step_fn, mesh: Mesh, axis: str = "data",
                        model_axis: Optional[str] = None):
     """Wrap a train step (grid, rms, rays, rgb_gt, hp, key[, occ]) with

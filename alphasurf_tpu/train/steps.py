@@ -119,6 +119,12 @@ class StepConfig:
     entries_per_ray: float = 8.0  # global pool budget for 'packed'
     coarse_factor: int = 8  # supervoxel prefilter for packed phase A
     supers_per_ray: float = 8.0
+    # mesh axis name for data-parallel execution under shard_map: each
+    # device runs the full packed pipeline on its local ray shard (local
+    # pool, local sort/compaction — no cross-device collectives in phase
+    # A/B) and only the GRADIENTS cross the mesh via pmean before the
+    # replicated optimizer update (SURVEY §2.4(b))
+    axis_name: Optional[str] = None
 
     @property
     def compact(self):  # back-compat alias
@@ -212,10 +218,11 @@ def _aux_optim(aux, aux_grads, rms: dict, hp: HParams, beta: float):
     return new_aux, upd
 
 
-def make_surface_step(cfg: StepConfig):
-    """Build the jitted surface-stage train step."""
+def make_surface_step(cfg: StepConfig, jit: bool = True):
+    """Build the surface-stage train step (jitted unless ``jit=False`` —
+    the raw impl is what ``parallel.sharding.make_sharded_surface_step``
+    wraps in shard_map)."""
 
-    @functools.partial(jax.jit, donate_argnums=(0, 1))
     def step(grid: SparseGrid, rms: dict, rays: Rays, rgb_gt, hp: HParams, key,
              occ=None):
         k_tv, k_tvsh, k_tvsurf, k_norm, k_sp, k_ext, k_bg, k_lum, k_aux = (
@@ -317,6 +324,16 @@ def make_surface_step(cfg: StepConfig):
         (loss, (mse, overflow)), grads = jax.value_and_grad(
             loss_fn, argnums=(0, 1, 2, 3, 4), has_aux=True
         )(grid.density_data, grid.sh_data, grid.surface_data, fss_in, aux_in)
+        if cfg.axis_name is not None:
+            # data-parallel shard_map: per-shard losses are means over the
+            # local rays, so pmean of the grads == the global-batch gradient
+            # (reg losses are computed identically on every shard from the
+            # replicated params/key, and pmean of identical values is the
+            # identity). Everything after this line is replicated math.
+            grads = jax.lax.pmean(grads, cfg.axis_name)
+            loss = jax.lax.pmean(loss, cfg.axis_name)
+            mse = jax.lax.pmean(mse, cfg.axis_name)
+            overflow = jax.lax.psum(overflow, cfg.axis_name)
         g_density, g_sh, g_surface, g_fss, g_aux = grads
         if cfg.surf_grad_abs_max is not None:
             thresh = abs(cfg.surf_grad_abs_max)
@@ -386,13 +403,14 @@ def make_surface_step(cfg: StepConfig):
         stats = {"loss": loss, "mse": mse, "pool_overflow": overflow}
         return new_grid, new_rms, stats
 
+    if jit:
+        return jax.jit(step, donate_argnums=(0, 1))
     return step
 
 
-def make_cuvol_step(cfg: StepConfig):
+def make_cuvol_step(cfg: StepConfig, jit: bool = True):
     """Plenoxels warm-start stage step (sigma grid, opt.py:940-947)."""
 
-    @functools.partial(jax.jit, donate_argnums=(0, 1))
     def step(grid: SparseGrid, rms: dict, rays: Rays, rgb_gt, hp: HParams, key):
         k_tv, k_tvsh, k_bg, k_lum, k_aux = jax.random.split(key, 5)
 
@@ -410,9 +428,14 @@ def make_cuvol_step(cfg: StepConfig):
             return loss, mse
 
         aux_in = _aux_params(grid, rms)
-        (loss, mse), (g_density, g_sh, g_aux) = jax.value_and_grad(
+        (loss, mse), grads = jax.value_and_grad(
             loss_fn, argnums=(0, 1, 2), has_aux=True
         )(grid.density_data, grid.sh_data, aux_in)
+        if cfg.axis_name is not None:
+            grads = jax.lax.pmean(grads, cfg.axis_name)
+            loss = jax.lax.pmean(loss, cfg.axis_name)
+            mse = jax.lax.pmean(mse, cfg.axis_name)
+        g_density, g_sh, g_aux = grads
 
         new_density, rms_d = rmsprop_step(
             grid.density_data, rms["density"], g_density, hp.lr_sigma, cfg.rms_beta
@@ -428,4 +451,6 @@ def make_cuvol_step(cfg: StepConfig):
         new_rms.update(rms_aux)
         return new_grid, new_rms, {"loss": loss, "mse": mse}
 
+    if jit:
+        return jax.jit(step, donate_argnums=(0, 1))
     return step

@@ -74,6 +74,29 @@ class Trainer:
         from ..render.surface import voxel_occupancy
 
         self._occ_fn = jax.jit(voxel_occupancy, static_argnums=1)
+        # multi-device mesh (SURVEY §2.4(a-b)): rays sharded over 'data',
+        # grid replicated (or row-sharded over 'model'); grad psum by XLA
+        self.mesh = None
+        n_dev = int(getattr(cfg, "n_devices", 1) or 0)
+        model = max(1, int(getattr(cfg, "mesh_model", 1)))
+        avail = len(jax.devices())
+        if n_dev == 0:
+            n_dev = avail
+        if n_dev > 1 or model > 1:
+            n_dev = min(n_dev, avail)
+            if n_dev % model:
+                raise ValueError(f"n_devices={n_dev} not divisible by mesh_model={model}")
+            from ..parallel.distributed import global_mesh
+
+            self.mesh = global_mesh(data=n_dev // model, model=model)
+            if cfg.batch_size % (n_dev // model):
+                raise ValueError(
+                    f"batch_size={cfg.batch_size} must divide the data axis "
+                    f"({n_dev // model})"
+                )
+            self.log(
+                f"[mesh] data={n_dev // model} x model={model} over {avail} devices"
+            )
 
     # ---------------- grid construction ----------------
     def _build_grid(self):
@@ -217,7 +240,22 @@ class Trainer:
             entries_per_ray=self._entries_per_ray,
             supers_per_ray=self._supers_per_ray,
         )
-        fn = make_cuvol_step(scfg) if kind == "cuvol" else make_surface_step(scfg)
+        if self.mesh is not None and self.mesh.shape.get("model", 1) == 1:
+            # production multi-chip path: shard_map data parallelism
+            # (device-local pools, grads pmean'd over ICI)
+            from ..parallel.sharding import make_sharded_surface_step
+
+            fn = make_sharded_surface_step(scfg, self.mesh, axis="data",
+                                           kind=kind)
+        else:
+            fn = make_cuvol_step(scfg) if kind == "cuvol" else make_surface_step(scfg)
+            if self.mesh is not None:
+                # tile-sharded grid rows: GSPMD auto-partitioning
+                from ..parallel.sharding import shard_surface_step
+
+                fn = shard_surface_step(
+                    fn, self.mesh, axis="data", model_axis="model",
+                )
         self._step_fns[cache_key] = fn
         return fn
 
