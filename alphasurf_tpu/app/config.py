@@ -228,7 +228,9 @@ class Config:
     tune_mode: bool = False
     final_render_eval: bool = False
     eval_cf: bool = False
+    log_pts: bool = False
     surf_eval_n_sample: int = 3
+    surf_eval_intersect_th: float = 0.1
     seed: int = 20200823
 
     # unknown keys from config files are stored here (forward compat)

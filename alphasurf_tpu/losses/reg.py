@@ -10,11 +10,26 @@ gradients, fused by XLA into the backward pass.
 
 All functions take flat cell ids (the analog of ``_get_rand_cells``,
 svox2.py:6335) so per-step cost matches the reference's ``sparse_frac``
-sampling. CONTRACT: ``cells`` must be a CONTIGUOUS window (what
-``sample_cells`` produces, mirroring the reference's contiguous=True) —
-the scatter-free backward of ``_fetch_cells`` relies on the resulting
-link streams being monotone and silently produces wrong gradients
-otherwise.
+sampling. Two samplers exist:
+
+  * ``sample_cells`` — a contiguous window of LATTICE cells (the
+    reference's exact distribution, svox2.py:6335 contiguous=True).
+    Its cost scales with reso^3 regardless of occupancy: at the 512^3
+    recipe, 1% = 1.34M cells of which ~98% are empty and contribute
+    nothing, yet still pay ~12.6 ns per gathered element on TPU — the
+    regularizers were ~13 s of the 14 s train step (PERF.md round 4).
+  * ``sample_present_cells`` — the production sampler: a contiguous
+    window of PRESENT cells (packed-row order), which is the same
+    contiguous lattice window minus the empty cells that the reference's
+    kernels skip anyway. Cost scales with CAPACITY (the reference's
+    effective work). Callers rescale the returned mean by
+    ``present_norm_scale`` so gradients keep the reference's
+    per-lattice-cell normalization.
+
+All fetches use the generic masked gather (scatter-add VJP). With
+capacity-scaled sampling the scatters are small; no fetch relies on
+stream monotonicity (the round-3 contiguous-VJP fast path and its
+silent-wrong-gradient contract are gone).
 """
 from __future__ import annotations
 
@@ -23,39 +38,67 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
-from ..core.grid import SparseGrid, fetch_links, fetch_links_contiguous
+from ..core.grid import SparseGrid, fetch_links
 
 
 def _fetch_cells(data: jnp.ndarray, links: jnp.ndarray) -> jnp.ndarray:
-    """fetch_links for link arrays derived from a CONTIGUOUS cell window
-    (sample_cells) — shape (n,) or (n, *offsets). Every fixed-offset
-    stream links[:, k] is monotone, so each uses the scatter-free
-    contiguous VJP (core.grid.fetch_links_contiguous); the generic
-    scatter-add backward costs ~90 ns/row on TPU and dominated the whole
-    train step at recipe scale (see PERF.md)."""
-    if links.ndim == 1:
-        return fetch_links_contiguous(data, links)
-    shp = links.shape
-    flat = links.reshape(shp[0], -1)
-    cols = [
-        fetch_links_contiguous(data, flat[:, k])
-        for k in range(flat.shape[1])
-    ]
-    return jnp.stack(cols, axis=1).reshape(*shp, data.shape[1])
+    """fetch_links for link arrays of shape (n,) or (n, *offsets)."""
+    return fetch_links(data, links)
 
 
 def sample_cells(key, grid: SparseGrid, sparse_frac: float) -> jnp.ndarray:
     """Random contiguous window of flat cell ids covering ``sparse_frac``
     of the link grid — the reference's sampling (svox2.py:6335-6352,
-    contiguous=True, chosen there for GPU coalescing; on TPU it makes the
-    neighbor gathers cache-resident and the backward scatter-adds hit a
-    contiguous row range instead of 1M+ random rows). Deviation: no
-    wraparound at the end of the grid — the start is drawn from
-    [0, n - count] instead (same marginal coverage, simpler indexing)."""
+    contiguous=True). Deviation: no wraparound at the end of the grid —
+    the start is drawn from [0, n - count] instead (same marginal
+    coverage, simpler indexing)."""
     n = int(grid.links.size)
     count = max(1, min(n, int(sparse_frac * n)))
     start = jax.random.randint(key, (), 0, n - count + 1, dtype=jnp.int32)
     return start + jnp.arange(count, dtype=jnp.int32)
+
+
+def row_coords_of(grid: SparseGrid) -> jnp.ndarray:
+    """(capacity, 3) int32: lattice coords of each packed data row. Works
+    for any link numbering (flat-order from this package's builders, or
+    Morton from imported checkpoints). O(reso^3) — compute once per
+    topology change (the Trainer caches it next to the occupancy)."""
+    X, Y, Z = grid.reso
+    flat = grid.links.reshape(-1)
+    present = flat >= 0
+    pos = jnp.nonzero(present, size=grid.capacity, fill_value=0)[0]
+    lk = jnp.take(flat, pos)
+    z = (pos % Z).astype(jnp.int32)
+    y = ((pos // Z) % Y).astype(jnp.int32)
+    x = (pos // (Z * Y)).astype(jnp.int32)
+    coords = jnp.stack([x, y, z], axis=-1)
+    return jnp.zeros((grid.capacity, 3), jnp.int32).at[lk].set(coords)
+
+
+def present_norm_scale(grid: SparseGrid) -> float:
+    """Rescale factor for losses over ``sample_present_cells`` windows:
+    a window of K present cells stands for a lattice window of expected
+    length K / occupancy_fraction, and the reference normalizes by the
+    LATTICE cell count (empties included) — so multiply the present-cell
+    mean by capacity / links.size."""
+    return grid.capacity / float(grid.links.size)
+
+
+def sample_present_cells(
+    key, grid: SparseGrid, row_coords: jnp.ndarray, sparse_frac: float
+) -> jnp.ndarray:
+    """Contiguous window of PRESENT cells: K = sparse_frac * capacity rows
+    starting at a random packed-row offset, returned as flat lattice ids.
+    With flat-ordered links this is exactly ``sample_cells``'s lattice
+    window restricted to its present members (which are the only cells
+    that contribute — the reference kernels skip empties,
+    loss_kernel.cu:747); combine with ``present_norm_scale``."""
+    cap = grid.capacity
+    K = max(1, min(cap, int(sparse_frac * cap)))
+    j0 = jax.random.randint(key, (), 0, cap - K + 1, dtype=jnp.int32)
+    coords = jax.lax.dynamic_slice_in_dim(row_coords, j0, K, axis=0)
+    X, Y, Z = grid.reso
+    return (coords[:, 0] * Y + coords[:, 1]) * Z + coords[:, 2]
 
 
 def _cells_to_xyz(cells, reso):

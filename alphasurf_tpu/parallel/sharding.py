@@ -60,21 +60,18 @@ def make_sharded_surface_step(cfg, mesh: Mesh, axis: str = "data",
 
     _cache = {}
 
-    def _build(grid, rms, rays, hp, has_occ):
+    def _build(grid, rms, rays, hp, extras):
         in_specs = (
             spec_of(grid, repl), spec_of(rms, repl), spec_of(rays, rayspec),
             rayspec, spec_of(hp, repl), repl,
-        ) + ((repl,) if has_occ else ())
+        ) + tuple(repl for _ in extras)
         out_specs = (spec_of(grid, repl), spec_of(rms, repl),
                      {"loss": repl, "mse": repl}
                      | ({"pool_overflow": repl} if kind == "surface" else {}))
 
-        if kind == "surface" and has_occ:
-            def body(grid, rms, rays, rgb_gt, hp, key, occ):
-                return impl(grid, rms, rays, rgb_gt, hp, key, occ=occ)
-        else:
-            def body(grid, rms, rays, rgb_gt, hp, key):
-                return impl(grid, rms, rays, rgb_gt, hp, key)
+        def body(grid, rms, rays, rgb_gt, hp, key, *rest):
+            return impl(grid, rms, rays, rgb_gt, hp, key,
+                        **dict(zip(extras, rest)))
 
         fn = shard_map(
             body, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
@@ -85,21 +82,27 @@ def make_sharded_surface_step(cfg, mesh: Mesh, axis: str = "data",
     repl_sh = NamedSharding(mesh, P())
     rays_sh = NamedSharding(mesh, P(axis))
 
-    def wrapped(grid, rms, rays, rgb_gt, hp, key, occ=None):
-        # cache the jitted shard_map by the arg pytree structure (occ
-        # presence / rays.masks presence / rms key set)
-        ck = (occ is not None, rays.masks is not None, tuple(sorted(rms)),
+    def wrapped(grid, rms, rays, rgb_gt, hp, key, occ=None, row_coords=None):
+        # cache the jitted shard_map by the arg pytree structure (optional
+        # kwarg presence / rays.masks presence / rms key set)
+        kwargs = {}
+        if kind == "surface" and occ is not None:
+            kwargs["occ"] = occ
+        if row_coords is not None:
+            kwargs["row_coords"] = row_coords
+        extras = tuple(sorted(kwargs))
+        ck = (extras, rays.masks is not None, tuple(sorted(rms)),
               grid.surface_data is not None)
         if ck not in _cache:
-            _cache[ck] = _build(grid, rms, rays, hp, occ is not None)
+            _cache[ck] = _build(grid, rms, rays, hp, extras)
         # place inputs on the mesh (no-op when already there: params come
         # back replicated from the previous step)
         grid = jax.device_put(grid, repl_sh)
         rms = jax.device_put(rms, repl_sh)
         rays = jax.tree_util.tree_map(lambda x: jax.device_put(x, rays_sh), rays)
         rgb_gt = jax.device_put(rgb_gt, rays_sh)
-        args = (grid, rms, rays, rgb_gt, hp, key) + (
-            (jax.device_put(occ, repl_sh),) if occ is not None else ()
+        args = (grid, rms, rays, rgb_gt, hp, key) + tuple(
+            jax.device_put(kwargs[k], repl_sh) for k in extras
         )
         return _cache[ck](*args)
 
@@ -117,7 +120,7 @@ def shard_surface_step(step_fn, mesh: Mesh, axis: str = "data",
     repl = NamedSharding(mesh, P())
     rays_sh = NamedSharding(mesh, P(axis))
 
-    def wrapped(grid, rms, rays, rgb_gt, hp, key, occ=None):
+    def wrapped(grid, rms, rays, rgb_gt, hp, key, occ=None, row_coords=None):
         if model_axis is None:
             grid = jax.device_put(grid, repl)
             rms = jax.device_put(rms, repl)
@@ -136,10 +139,12 @@ def shard_surface_step(step_fn, mesh: Mesh, axis: str = "data",
             lambda x: jax.device_put(x, rays_sh), rays
         )
         rgb_gt = jax.device_put(rgb_gt, rays_sh)
+        kw = {}
         if occ is not None:
-            occ = jax.device_put(occ, repl)
-            return step_fn(grid, rms, rays, rgb_gt, hp, key, occ=occ)
-        return step_fn(grid, rms, rays, rgb_gt, hp, key)
+            kw["occ"] = jax.device_put(occ, repl)
+        if row_coords is not None:
+            kw["row_coords"] = jax.device_put(row_coords, repl)
+        return step_fn(grid, rms, rays, rgb_gt, hp, key, **kw)
 
     return wrapped
 

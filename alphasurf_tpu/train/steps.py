@@ -224,10 +224,22 @@ def make_surface_step(cfg: StepConfig, jit: bool = True):
     wraps in shard_map)."""
 
     def step(grid: SparseGrid, rms: dict, rays: Rays, rgb_gt, hp: HParams, key,
-             occ=None):
+             occ=None, row_coords=None):
         k_tv, k_tvsh, k_tvsurf, k_norm, k_sp, k_ext, k_bg, k_lum, k_aux = (
             jax.random.split(key, 9)
         )
+
+        # capacity-scaled regularizer sampling when the packed-row coords
+        # are available (Trainer passes them; recomputed per topology).
+        # Falls back to the reference's lattice-window sampling, whose cost
+        # scales with reso^3 — ~13 s of the 14 s step at 512^3 (PERF.md).
+        if row_coords is not None:
+            rc = jax.lax.stop_gradient(row_coords)
+            reg_scale = reg.present_norm_scale(grid)
+            sample = lambda k, g, frac: reg.sample_present_cells(k, g, rc, frac)
+        else:
+            reg_scale = 1.0
+            sample = reg.sample_cells
 
         train_fss = grid.fake_sample_std is not None and "fake_sample_std" in rms
 
@@ -278,39 +290,39 @@ def make_surface_step(cfg: StepConfig, jit: bool = True):
                 loss += hp.lambda_samp_dist * rl.l_samp_dist_from_cache(out["cache"])
 
             # cell-sampled regularizers (opt.py:939-1074)
-            cells_tv = reg.sample_cells(k_tv, g, cfg.tv_sparsity)
-            loss += hp.lambda_tv_alpha * reg.tv_loss(g, density, cells_tv)
-            cells_tvsh = reg.sample_cells(k_tvsh, g, cfg.tv_sh_sparsity)
-            loss += hp.lambda_tv_sh * reg.tv_loss(g, sh, cells_tvsh)
-            cells_tvs = reg.sample_cells(k_tvsurf, g, cfg.tv_surface_sparsity)
-            loss += hp.lambda_tv_surface * reg.surface_tv_loss(
+            cells_tv = sample(k_tv, g, cfg.tv_sparsity)
+            loss += reg_scale * hp.lambda_tv_alpha * reg.tv_loss(g, density, cells_tv)
+            cells_tvsh = sample(k_tvsh, g, cfg.tv_sh_sparsity)
+            loss += reg_scale * hp.lambda_tv_sh * reg.tv_loss(g, sh, cells_tvsh)
+            cells_tvs = sample(k_tvsurf, g, cfg.tv_surface_sparsity)
+            loss += reg_scale * hp.lambda_tv_surface * reg.surface_tv_loss(
                 g, cells_tvs, alpha_weighted=cfg.surf_tv_alpha_weighted
             )
-            cells_n = reg.sample_cells(k_norm, g, cfg.norm_surface_sparsity)
-            loss += hp.lambda_normal_l1 * reg.surface_normal_loss(
+            cells_n = sample(k_norm, g, cfg.norm_surface_sparsity)
+            loss += reg_scale * hp.lambda_normal_l1 * reg.surface_normal_loss(
                 g, cells_n, cfg.norm_con_check, cfg.norm_ignore_empty, use_l1=True
             )
-            loss += hp.lambda_normal_l2 * reg.surface_normal_loss(
+            loss += reg_scale * hp.lambda_normal_l2 * reg.surface_normal_loss(
                 g, cells_n, cfg.norm_con_check, cfg.norm_ignore_empty, use_l1=False
             )
-            cells_s = reg.sample_cells(k_sp, g, cfg.sparsify_sparsity)
-            loss += reg.alpha_surf_sparsify_loss(
+            cells_s = sample(k_sp, g, cfg.sparsify_sparsity)
+            loss += reg_scale * reg.alpha_surf_sparsify_loss(
                 g, cells_s, hp.lambda_sparsify_alpha, hp.lambda_sparsify_surf,
                 cfg.sparsify_surf_decrease, cfg.sparsify_surf_thresh,
             )
-            loss += hp.lambda_eikonal * reg.surface_eikonal_loss(g, cells_n)
+            loss += reg_scale * hp.lambda_eikonal * reg.surface_eikonal_loss(g, cells_n)
 
             # extended surface regularizers (traced in only when enabled)
             if cfg.use_norm_match:
-                loss += hp.lambda_norm_match * reg.surface_norm_match_loss(g, cells_n)
+                loss += reg_scale * hp.lambda_norm_match * reg.surface_norm_match_loss(g, cells_n)
             if cfg.use_viscosity:
                 h = 2.0 * jnp.mean(g.radius) / jnp.mean(g.gsz)
-                loss += hp.lambda_viscosity * reg.surface_viscosity_loss(
+                loss += reg_scale * hp.lambda_viscosity * reg.surface_viscosity_loss(
                     g, cells_n, eta=cfg.viscosity_eta, h=h
                 )
             if cfg.use_sign_change:
-                cells_sc = reg.sample_cells(k_ext, g, cfg.norm_surface_sparsity)
-                loss += hp.lambda_sign_change * reg.surface_sign_change_loss(g, cells_sc)
+                cells_sc = sample(k_ext, g, cfg.norm_surface_sparsity)
+                loss += reg_scale * hp.lambda_sign_change * reg.surface_sign_change_loss(g, cells_sc)
             loss += _aux_reg_losses(g, hp, cfg, (k_bg, k_lum, k_aux))
 
             if train_fss:
@@ -411,8 +423,17 @@ def make_surface_step(cfg: StepConfig, jit: bool = True):
 def make_cuvol_step(cfg: StepConfig, jit: bool = True):
     """Plenoxels warm-start stage step (sigma grid, opt.py:940-947)."""
 
-    def step(grid: SparseGrid, rms: dict, rays: Rays, rgb_gt, hp: HParams, key):
+    def step(grid: SparseGrid, rms: dict, rays: Rays, rgb_gt, hp: HParams, key,
+             row_coords=None):
         k_tv, k_tvsh, k_bg, k_lum, k_aux = jax.random.split(key, 5)
+
+        if row_coords is not None:
+            rc = jax.lax.stop_gradient(row_coords)
+            reg_scale = reg.present_norm_scale(grid)
+            sample = lambda k, g, frac: reg.sample_present_cells(k, g, rc, frac)
+        else:
+            reg_scale = 1.0
+            sample = reg.sample_cells
 
         def loss_fn(density, sh, aux):
             g = grid.replace(density_data=density, sh_data=sh)
@@ -420,10 +441,10 @@ def make_cuvol_step(cfg: StepConfig, jit: bool = True):
             out = volume_render_cuvol(g, rays, cfg.opt, max_steps=cfg.max_steps)
             mse = jnp.mean((out["rgb"] - rgb_gt) ** 2)
             loss = mse
-            cells_tv = reg.sample_cells(k_tv, g, cfg.tv_sparsity)
-            loss += hp.lambda_tv * reg.tv_loss(g, density, cells_tv)
-            cells_tvsh = reg.sample_cells(k_tvsh, g, cfg.tv_sh_sparsity)
-            loss += hp.lambda_tv_sh * reg.tv_loss(g, sh, cells_tvsh)
+            cells_tv = sample(k_tv, g, cfg.tv_sparsity)
+            loss += reg_scale * hp.lambda_tv * reg.tv_loss(g, density, cells_tv)
+            cells_tvsh = sample(k_tvsh, g, cfg.tv_sh_sparsity)
+            loss += reg_scale * hp.lambda_tv_sh * reg.tv_loss(g, sh, cells_tvsh)
             loss += _aux_reg_losses(g, hp, cfg, (k_bg, k_lum, k_aux))
             return loss, mse
 

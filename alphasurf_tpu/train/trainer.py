@@ -74,6 +74,19 @@ class Trainer:
         from ..render.surface import voxel_occupancy
 
         self._occ_fn = jax.jit(voxel_occupancy, static_argnums=1)
+        # packed-row lattice coords for capacity-scaled reg sampling
+        # (losses/reg.py sample_present_cells); recomputed on topology change
+        from ..losses.reg import row_coords_of
+
+        self._row_coords = None
+        self._row_coords_fn = jax.jit(row_coords_of)
+        # degraded-step accounting (round-3 verdict, weak #6): force-applied
+        # overflow steps trained on clipped pools => gradients were wrong
+        # for tail rays. The CUDA kernel never drops crossings
+        # (surf_trav.cu:37-562 walks to termination), so every such step is
+        # a deviation worth surfacing — counted, TB-logged, summarized.
+        self.n_forced_steps = 0
+        self.dropped_crossings = 0
         # multi-device mesh (SURVEY §2.4(a-b)): rays sharded over 'data',
         # grid replicated (or row-sharded over 'model'); grad psum by XLA
         self.mesh = None
@@ -354,6 +367,7 @@ class Trainer:
         self.surface_initialized = True
         self.rms = init_rms(self.grid)
         self._occ = None
+        self._row_coords = None
         self._size_pool_from_grid()
 
     @staticmethod
@@ -451,6 +465,7 @@ class Trainer:
                 )
             self.rms = init_rms(self.grid)
             self._occ = None
+            self._row_coords = None
             # upsampling typically multiplies crossings/ray; re-size the
             # pool now instead of paying reactive growth retries
             self._size_pool_from_grid()
@@ -469,6 +484,14 @@ class Trainer:
             self._occ = self._occ_fn(self.grid, opt)
             self._occ_step = self.gstep
         return self._occ
+
+    def _get_row_coords(self):
+        if (
+            self._row_coords is None
+            or self._row_coords.shape[0] != self.grid.capacity
+        ):
+            self._row_coords = self._row_coords_fn(self.grid)
+        return self._row_coords
 
     # ---------------- core loop ----------------
     def log(self, msg):
@@ -573,8 +596,12 @@ class Trainer:
                     self.grid, self.rms, stats = step_fn(
                         self.grid, self.rms, rays, gt_dev, hp, sub,
                         occ=self._get_occ(no_surface),
+                        row_coords=self._get_row_coords(),
                     )
                     overflow = int(stats.get("pool_overflow", 0))
+                    if forced:
+                        self.n_forced_steps += 1
+                        self.dropped_crossings += overflow
                     if overflow == 0 or forced:
                         break
                     if self._grow_pool(overflow):
@@ -586,7 +613,8 @@ class Trainer:
                         forced = True
             else:
                 self.grid, self.rms, stats = step_fn(
-                    self.grid, self.rms, rays, gt_dev, hp, sub
+                    self.grid, self.rms, rays, gt_dev, hp, sub,
+                    row_coords=self._get_row_coords(),
                 )
             mse = float(stats["mse"])
             stats_acc["mse"] += mse
@@ -609,6 +637,10 @@ class Trainer:
                     if kind == "surface":
                         sw.add_scalar("lr_alpha", float(hp.lr_alpha), self.gstep)
                         sw.add_scalar("lr_surface", float(hp.lr_surface), self.gstep)
+                        sw.add_scalar("degraded/forced_steps",
+                                      self.n_forced_steps, self.gstep)
+                        sw.add_scalar("degraded/dropped_crossings",
+                                      self.dropped_crossings, self.gstep)
                     else:
                         sw.add_scalar("lr_sigma", float(hp.lr_sigma), self.gstep)
                 stats_acc = {"mse": 0.0, "n": 0}
@@ -619,6 +651,12 @@ class Trainer:
                 self.save()
             self.maybe_upsample()
 
+        if self.n_forced_steps:
+            self.log(
+                f"[pool] run summary: {self.n_forced_steps} force-applied "
+                f"step(s) trained on clipped pools "
+                f"({self.dropped_crossings} crossings dropped total)"
+            )
         self.save()
         return self.eval_step(final=True)
 
@@ -697,6 +735,9 @@ class Trainer:
         mean_psnr = float(np.mean(psnrs))
         mean_ssim = float(np.mean(ssims))
         extra = f" lpips={np.mean(lpipss):.4f}" if lpipss else ""
+        extra += self._eval_points()
+        if self.n_forced_steps:
+            extra += f" forced_steps={self.n_forced_steps}"
         self.log(
             f"eval stats: step={self.gstep} psnr={mean_psnr:.3f} "
             f"ssim={mean_ssim:.4f}{extra}"
@@ -711,6 +752,54 @@ class Trainer:
             with open(path.join(cfg.train_dir, "test_psnr.txt"), "w") as f:
                 f.write(f"{mean_psnr}\n")
         return mean_psnr
+
+    def _eval_points(self) -> str:
+        """In-training point extraction + chamfer (opt.py:596-657): gated on
+        ``log_pts``; extracts iso points per level set, optionally chamfers
+        against ``{data_dir}/shape.npy`` (eval_cf), writes artifacts to
+        ``train_dir/coarse_pts_eval/{step}`` and returns the `` cf_*`` tail
+        for the ``eval stats:`` line."""
+        cfg = self.cfg
+        if not cfg.log_pts or self.grid.surface_data is None:
+            return ""
+        from ..geometry.extract import extract_iso_points
+
+        pred = [
+            extract_iso_points(
+                self.grid, n_sample=cfg.surf_eval_n_sample,
+                density_thresh=cfg.surf_eval_intersect_th,
+                surf_lv_set=float(lv), to_world=True, scene_scale=2.0 / 3.0,
+            )
+            for lv in np.asarray(self.grid.level_set_data)
+        ]
+        pred = np.concatenate([p for p in pred if p.size], axis=0) if pred else np.zeros((0, 3), np.float32)
+        out_dir = path.join(cfg.train_dir, "coarse_pts_eval", str(self.gstep))
+        os.makedirs(out_dir, exist_ok=True)
+        gt_path = path.join(cfg.data_dir, "shape.npy")
+        if cfg.eval_cf and pred.size and path.isfile(gt_path):
+            from ..geometry.chamfer import chamfer, downsample_points
+            from ..geometry.dtu_eval import write_ply_points
+
+            pred = downsample_points(pred, 0.001)  # opt.py:606-615
+            gt_pts = np.load(gt_path).astype(np.float32).reshape(-1, 3)
+            cf = chamfer(pred, gt_pts)
+            sw = self.summary_writer
+            if sw is not None:
+                sw.add_scalar("test/cf_d2s", cf["d2s"], self.gstep)
+                sw.add_scalar("test/cf_s2d", cf["s2d"], self.gstep)
+                sw.add_scalar("test/cf_mean", cf["overall"], self.gstep)
+            with open(path.join(out_dir, "cf.txt"), "w") as f:
+                f.write(f"Mean d2s: {cf['d2s']}\n")
+                f.write(f"Mean s2d: {cf['s2d']}\n")
+                f.write(f"Over all: {cf['overall']}\n")
+            write_ply_points(path.join(out_dir, "vis_d2s.ply"), pred)
+            return (f" cf_d2s={cf['d2s']:.5f} cf_s2d={cf['s2d']:.5f}"
+                    f" cf_mean={cf['overall']:.5f}")
+        if pred.size:
+            from ..geometry.dtu_eval import write_ply_points
+
+            write_ply_points(path.join(out_dir, "pts.ply"), pred)
+        return ""
 
     def save(self):
         ckpt_path = path.join(self.cfg.train_dir, "ckpt.npz")

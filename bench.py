@@ -60,9 +60,14 @@ def build_bench_grid(reso=256):
         # bounded nonzero is ~50x cheaper than the argsort it replaces
         occ_idx = jnp.nonzero(flat, size=capacity)[0]
         surface = sdf.reshape(-1)[occ_idx][:, None]
-        return links.reshape(reso, reso, reso).astype(jnp.int32), surface
+        # packed-row lattice coords (rows are numbered in flat order here)
+        rc = jnp.stack(
+            [occ_idx // (reso * reso), (occ_idx // reso) % reso, occ_idx % reso],
+            axis=-1,
+        ).astype(jnp.int32)
+        return links.reshape(reso, reso, reso).astype(jnp.int32), surface, rc
 
-    links, surface = build()
+    links, surface, row_coords = build()
     g = at.SparseGrid(
         links=links,
         density_data=jnp.full((capacity, 1), 0.5, jnp.float32),
@@ -76,7 +81,7 @@ def build_bench_grid(reso=256):
         basis_dim=9,
         surface_type=at.defs.SURFACE_TYPE_SDF,
     )
-    return g, float(keep.mean())
+    return g, float(keep.mean()), row_coords
 
 
 def device_rays(W, H, fx, dist=2.7):
@@ -131,7 +136,7 @@ def main():
     BASELINE_RAYS_PER_S = {256: 12753.7, 512: 9915.2}
 
     t0 = time.time()
-    grid, occ = build_bench_grid(reso)
+    grid, occ, row_coords = build_bench_grid(reso)
     origins, dirs = device_rays(W, H, fx=1.1 * W)
     jax.block_until_ready((grid.density_data, origins))
     n_rays = origins.shape[0]
@@ -177,7 +182,8 @@ def main():
             jax.lax.dynamic_slice_in_dim(origins, s, batch),
             jax.lax.dynamic_slice_in_dim(dirs, s, batch),
         )
-        return step(grid, rms, r, gt, hp, key, occ=occ_state["occ"])
+        return step(grid, rms, r, gt, hp, key, occ=occ_state["occ"],
+                    row_coords=row_coords)
 
     t0 = time.time()
     g, r, stats = run_batch(grid, rms, 0)

@@ -30,7 +30,7 @@ def main():
     batch = 40960
     epr = 6.0
 
-    grid, occf = build_bench_grid(reso)
+    grid, occf, row_coords = build_bench_grid(reso)
     origins_all, dirs_all = device_rays(800, 800, fx=880.0)
     mid = origins_all.shape[0] // 2 - batch // 2
     origins = jax.lax.dynamic_slice_in_dim(origins_all, mid, batch)

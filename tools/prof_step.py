@@ -35,7 +35,7 @@ def main():
     epr = float(sys.argv[3]) if len(sys.argv) > 3 else 6.0
 
     t0 = time.time()
-    grid, occf = build_bench_grid(reso)
+    grid, occf, row_coords = build_bench_grid(reso)
     origins_all, dirs_all = device_rays(800, 800, fx=880.0)
     jax.block_until_ready((grid.density_data, origins_all))
     print(f"setup {time.time()-t0:.1f}s occ={occf:.3f} cap={grid.capacity}")
@@ -122,13 +122,13 @@ def main():
 
     # donation: rebind state each call (donated buffers are consumed)
     t0 = time.time()
-    g2, r2, stats = step(grid, rms, rays, gt, hp, key, occ=occ)
+    g2, r2, stats = step(grid, rms, rays, gt, hp, key, occ=occ, row_coords=row_coords)
     jax.block_until_ready(stats["loss"])
     tc = time.time() - t0
     t0 = time.time()
     n = 4
     for _ in range(n):
-        g2, r2, stats = step(g2, r2, rays, gt, hp, key, occ=occ)
+        g2, r2, stats = step(g2, r2, rays, gt, hp, key, occ=occ, row_coords=row_coords)
     jax.block_until_ready(stats["loss"])
     t_step = (time.time() - t0) / n
     print(f"{'full train step':34s} {t_step*1e3:9.1f} ms   (compile+1st {tc:.1f}s)")
