@@ -83,6 +83,29 @@ class Camera:
             dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
         return Rays(jnp.asarray(origins), jnp.asarray(dirs))
 
+    def gen_rays_device(self) -> Rays:
+        """``gen_rays`` computed ON DEVICE: only the 4x4 pose and scalar
+        intrinsics cross the host boundary (the host link runs at ~0.5 MB/s
+        through the axon relay — a full 800x800 ray upload would take ~30 s
+        per camera). f32 throughout; no NDC support (LLFF datasets are
+        host-side)."""
+        assert self.ndc_coeffs[0] <= 0.0, "NDC rays are generated host-side"
+        H, W = int(self.height), int(self.width)
+        c2w = jnp.asarray(self.c2w, jnp.float32)
+
+        yy, xx = jnp.meshgrid(
+            jnp.arange(H, dtype=jnp.float32) + 0.5,
+            jnp.arange(W, dtype=jnp.float32) + 0.5,
+            indexing="ij",
+        )
+        x = (xx - self.cx) / self.fx
+        y = (yy - self.cy) / self.fy
+        dirs = jnp.stack([x, y, jnp.ones_like(x)], -1)
+        dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
+        dirs = jnp.einsum("ij,hwj->hwi", c2w[:3, :3], dirs).reshape(-1, 3)
+        origins = jnp.broadcast_to(c2w[:3, 3], (H * W, 3))
+        return Rays(origins, dirs)
+
 
 def convert_to_ndc(origins, dirs, ndc_coeffs, near: float = 1.0):
     """NDC ray warp for LLFF forward-facing scenes

@@ -121,6 +121,30 @@ class DatasetBase:
         )
         self.rays = self.rays_init
 
+    def to_device(self):
+        """Upload the full train ray set to the device once and mark the
+        dataset DEVICE-RESIDENT: the Trainer then shuffles (permutation
+        gather) and slices batches on device instead of streaming each
+        batch over the host link. TPU-native data path — the reference
+        keeps its whole shuffled ray table on the GPU too
+        (dataset_base.py:73-78); on the axon relay (~0.5 MB/s host->device)
+        per-batch streaming would dominate the step time.
+
+        Datasets that can generate rays directly on device (synthetic)
+        should instead set ``rays_dev`` themselves and skip the upload.
+        """
+        import jax.numpy as jnp
+
+        r = self.rays_init
+        self.rays_dev = {
+            "origins": jnp.asarray(r.origins),
+            "dirs": jnp.asarray(r.dirs),
+            "gt": jnp.asarray(r.gt),
+        }
+        if r.mask is not None:
+            self.rays_dev["mask"] = jnp.asarray(r.mask)
+        return self
+
     def shuffle_rays(self, rng: np.random.Generator):
         """Epoch reshuffle (select_or_shuffle_rays, opt/util/util.py:80-99)."""
         if self.split != "train":

@@ -83,6 +83,7 @@ class SyntheticDataset(DatasetBase):
         epoch_size=None,
         permutation: bool = True,
         renderer: str = "dense",
+        device_resident: bool = False,
         **kwargs,
     ):
         super().__init__()
@@ -117,6 +118,36 @@ class SyntheticDataset(DatasetBase):
             render = functools.partial(volume_render_surface)
         rng = np.random.default_rng(seed + (0 if split == "train" else 1))
         focal = 1.2 * width
+        if device_resident:
+            # full ray set + GT generated and KEPT on device (bulk data
+            # never crosses the slow host link); host side keeps only poses
+            assert split == "train", "device_resident is a train-split mode"
+            c2ws, o_all, d_all, rgb_all = [], [], [], []
+            for i in range(n_images):
+                az = 360.0 * i / n_images + rng.uniform(0, 10)
+                el = rng.uniform(-60, 60)
+                c2w = pose_spherical(az, el, 2.7)
+                cam = Camera.make(c2w, fx=focal, width=width, height=height)
+                rays = cam.gen_rays_device()
+                out = render(gt_grid, rays, opt)
+                o_all.append(rays.origins)
+                d_all.append(rays.dirs)
+                rgb_all.append(jnp.clip(out["rgb"], 0.0, 1.0))
+                c2ws.append(c2w)
+            self.c2w = np.stack(c2ws)
+            self.rays_dev = {
+                "origins": jnp.concatenate(o_all),
+                "dirs": jnp.concatenate(d_all),
+                "gt": jnp.concatenate(rgb_all),
+            }
+            self.gt = None  # host images not materialized in this mode
+            self.n_images, self.h_full, self.w_full = n_images, height, width
+            self.intrins_full = Intrin(focal, focal, width * 0.5, height * 0.5)
+            self.scene_scale = 1.0
+            self.should_use_background = False
+            self.h, self.w = height, width
+            self.intrins = self.intrins_full
+            return
         c2ws, imgs = [], []
         for i in range(n_images):
             az = 360.0 * i / n_images + rng.uniform(0, 10)

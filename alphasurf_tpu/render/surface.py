@@ -801,7 +801,8 @@ def volume_render_surface(
 # Strategy 2: occupancy-compacted traversal (production path)
 # ---------------------------------------------------------------------------
 
-def voxel_occupancy(grid: SparseGrid, opt: RenderOptions) -> jnp.ndarray:
+def voxel_occupancy(grid: SparseGrid, opt: RenderOptions,
+                    row_coords: jnp.ndarray | None = None) -> jnp.ndarray:
     """Per-voxel bool (X-1, Y-1, Z-1): can this voxel contribute anything?
 
     Exact analog of the kernel's skip conditions: all 8 corner links present
@@ -809,21 +810,53 @@ def voxel_occupancy(grid: SparseGrid, opt: RenderOptions) -> jnp.ndarray:
     and — unless unrestricted fake samples are on — some level set within
     the corner min/max hull (:273-277; trilinear values can't leave the
     hull, so voxels failing this provably produce no samples).
+
+    ``row_coords`` (losses.reg.row_coords_of) enables the fast dense-field
+    build: a capacity-sized row SCATTER (~90 ns/row) instead of two
+    reso^3-sized scalar GATHERS (~12.6 ns/element x 134M each at 512^3 —
+    3.4 s of the 3.65 s refresh).
     """
     links = grid.links
     # dense vertex fields
     present = links >= 0
-    safe = jnp.clip(links, 0, grid.capacity - 1)
-    if grid.surface_type == defs.SURFACE_TYPE_UDF_ALPHA:
-        # per-level-set alphas: the corner test degenerates to a scalar
-        dens = jnp.where(
-            present, jnp.max(grid.density_data), -jnp.inf
+    if row_coords is not None:
+        X, Y, Z = links.shape
+        rc = row_coords
+        flat_pos = (rc[:, 0] * Y + rc[:, 1]) * Z + rc[:, 2]
+        if grid.surface_type == defs.SURFACE_TYPE_UDF_ALPHA:
+            dens_row = jnp.full(
+                (grid.capacity,), jnp.max(grid.density_data),
+                grid.surface_data.dtype,
+            )
+        else:
+            dens_row = grid.density_data[:, 0]
+        surf_row = grid.surface_data[:, 0]
+        if grid.surface_type in _UDF_TYPES:
+            surf_row = jax.nn.softplus(surf_row)
+        base = jnp.concatenate(
+            [
+                jnp.full((links.size, 1), -jnp.inf, surf_row.dtype),
+                jnp.zeros((links.size, 1), surf_row.dtype),
+            ],
+            axis=1,
         )
+        dense = base.at[flat_pos].set(
+            jnp.stack([dens_row, surf_row], axis=-1), mode="drop"
+        )
+        dens = dense[:, 0].reshape(links.shape)
+        surf = dense[:, 1].reshape(links.shape)
     else:
-        dens = jnp.where(present, grid.density_data[safe, 0], -jnp.inf)
-    surf = jnp.where(present, grid.surface_data[safe, 0], 0.0)
-    if grid.surface_type in _UDF_TYPES:
-        surf = jax.nn.softplus(surf)
+        safe = jnp.clip(links, 0, grid.capacity - 1)
+        if grid.surface_type == defs.SURFACE_TYPE_UDF_ALPHA:
+            # per-level-set alphas: the corner test degenerates to a scalar
+            dens = jnp.where(
+                present, jnp.max(grid.density_data), -jnp.inf
+            )
+        else:
+            dens = jnp.where(present, grid.density_data[safe, 0], -jnp.inf)
+        surf = jnp.where(present, grid.surface_data[safe, 0], 0.0)
+        if grid.surface_type in _UDF_TYPES:
+            surf = jax.nn.softplus(surf)
 
     def corners(v, reduce_fn, init):
         out = None

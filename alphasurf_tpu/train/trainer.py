@@ -87,6 +87,7 @@ class Trainer:
         # a deviation worth surfacing — counted, TB-logged, summarized.
         self.n_forced_steps = 0
         self.dropped_crossings = 0
+        self._force_apply = False
         # multi-device mesh (SURVEY §2.4(a-b)): rays sharded over 'data',
         # grid replicated (or row-sharded over 'model'); grad psum by XLA
         self.mesh = None
@@ -481,7 +482,7 @@ class Trainer:
             or self._occ.shape != tuple(r - 1 for r in self.grid.reso)
         ):
             opt = render_options_from(cfg, no_surface=no_surface)
-            self._occ = self._occ_fn(self.grid, opt)
+            self._occ = self._occ_fn(self.grid, opt, self._get_row_coords())
             self._occ_step = self.gstep
         return self._occ
 
@@ -506,13 +507,68 @@ class Trainer:
         if self.pretrained_density and not self.surface_initialized:
             self.maybe_init_surface()
 
-        epoch_rays = len(dset.rays)
+        # device-resident dataset (DatasetBase.to_device / synthetic
+        # device_resident=True): shuffle + batch slicing happen ON DEVICE,
+        # and per-step host syncs are avoided (stats flushed per window) —
+        # on the axon relay every host round-trip costs ~0.1 s
+        dev = getattr(dset, "rays_dev", None)
+        dev_shuf = dict(dev) if dev is not None else None
+        B = cfg.batch_size
+        if dev is not None:
+            epoch_rays = int(dev["origins"].shape[0])
+
+            @jax.jit
+            def _slice_batch(d, s):
+                return {
+                    k: jax.lax.dynamic_slice_in_dim(v, s, B)
+                    for k, v in d.items()
+                }
+        else:
+            epoch_rays = len(dset.rays)
+        pend = []  # deferred device stats (device mode)
         batch_begin = epoch_rays  # trigger shuffle on first iter
         stats_acc = {"mse": 0.0, "n": 0}
         t_start = time.time()
+
+        def _flush_pend():
+            # pull the deferred window once; handle overflow lazily: the
+            # step refuses to apply overflowing updates internally, so a
+            # late pool growth only means those batches were no-ops
+            nonlocal pend
+            if not pend:
+                return
+            for st in pend:
+                stats_acc["mse"] += float(st["mse"])
+                stats_acc["n"] += 1
+                ovf = int(st.get("pool_overflow", 0))
+                if ovf > 0:
+                    if self._force_apply:
+                        self.n_forced_steps += 1
+                        self.dropped_crossings += ovf
+                    elif not self._grow_pool(ovf):
+                        self._force_apply = True
+                        self.log(
+                            "[pool] device mode: at cap — subsequent "
+                            "overflow steps will be force-applied"
+                        )
+                    else:
+                        self.log(
+                            "[pool] device mode: overflowing batches were "
+                            "dropped (no-op steps), pool grown for the next "
+                            "window"
+                        )
+            pend = []
+
         while self.gstep < n_iters:
             if batch_begin + cfg.batch_size > epoch_rays:
-                dset.shuffle_rays(self.rng)
+                if dev is None:
+                    dset.shuffle_rays(self.rng)
+                else:
+                    self.key, kp = jax.random.split(self.key)
+                    perm = jax.random.permutation(kp, epoch_rays)
+                    dev_shuf = {
+                        k: jnp.take(v, perm, axis=0) for k, v in dev.items()
+                    }
                 batch_begin = 0
             no_surface = (not self.surface_initialized) or (
                 self.gstep < cfg.no_surface_init_iters
@@ -531,10 +587,14 @@ class Trainer:
                 self.maybe_init_surface()
                 no_surface = not self.surface_initialized
 
-            batch = dset.rays[batch_begin : batch_begin + cfg.batch_size]
-            batch_begin += cfg.batch_size
-            if len(batch) < cfg.batch_size:
-                continue
+            if dev is None:
+                batch = dset.rays[batch_begin : batch_begin + cfg.batch_size]
+                batch_begin += cfg.batch_size
+                if len(batch) < cfg.batch_size:
+                    continue
+            else:
+                sl = _slice_batch(dev_shuf, batch_begin)
+                batch_begin += cfg.batch_size
 
             # scheduled grid scalars (opt.py:720-725)
             g = self.grid
@@ -581,13 +641,29 @@ class Trainer:
             kind = "cuvol" if (no_surface or g.surface_data is None) else "surface"
             step_fn = self._get_step(kind, no_surface)
             hp = self._hparams(no_surface)
+            if self._force_apply:
+                hp = hp._replace(force_apply=1.0)
             self.key, sub = jax.random.split(self.key)
-            rays = Rays(
-                jnp.asarray(batch.origins), jnp.asarray(batch.dirs),
-                None if batch.mask is None else jnp.asarray(batch.mask),
-            )
-            gt_dev = jnp.asarray(batch.gt)
-            if kind == "surface":
+            if dev is None:
+                rays = Rays(
+                    jnp.asarray(batch.origins), jnp.asarray(batch.dirs),
+                    None if batch.mask is None else jnp.asarray(batch.mask),
+                )
+                gt_dev = jnp.asarray(batch.gt)
+            else:
+                rays = Rays(sl["origins"], sl["dirs"], sl.get("mask"))
+                gt_dev = sl["gt"]
+            if dev is not None:
+                # async path: no per-step host sync; overflow handled at
+                # window flushes by _flush_pend
+                kw = {"row_coords": self._get_row_coords()}
+                if kind == "surface":
+                    kw["occ"] = self._get_occ(no_surface)
+                self.grid, self.rms, stats = step_fn(
+                    self.grid, self.rms, rays, gt_dev, hp, sub, **kw
+                )
+                pend.append(stats)
+            elif kind == "surface":
                 # overflow => the step was a no-op (params unchanged inside
                 # the jitted step); grow the pool and retry the same batch
                 # with the same rng key until it fits or the cap is hit
@@ -616,12 +692,14 @@ class Trainer:
                     self.grid, self.rms, rays, gt_dev, hp, sub,
                     row_coords=self._get_row_coords(),
                 )
-            mse = float(stats["mse"])
-            stats_acc["mse"] += mse
-            stats_acc["n"] += 1
+            if dev is None:
+                mse = float(stats["mse"])
+                stats_acc["mse"] += mse
+                stats_acc["n"] += 1
             self.gstep += 1
 
             if self.gstep % cfg.print_every == 0:
+                _flush_pend()
                 avg_mse = stats_acc["mse"] / max(stats_acc["n"], 1)
                 psnr = -10.0 * math.log10(max(avg_mse, 1e-12))
                 dt = time.time() - t_start
@@ -646,11 +724,14 @@ class Trainer:
                 stats_acc = {"mse": 0.0, "n": 0}
 
             if cfg.eval_every_iter and self.gstep % cfg.eval_every_iter == 0:
+                _flush_pend()
                 self.eval_step()
             if cfg.save_every > 0 and self.gstep % cfg.save_every == 0:
+                _flush_pend()
                 self.save()
             self.maybe_upsample()
 
+        _flush_pend()
         if self.n_forced_steps:
             self.log(
                 f"[pool] run summary: {self.n_forced_steps} force-applied "

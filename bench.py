@@ -163,7 +163,7 @@ def main():
     key = jax.random.PRNGKey(0)
     gt = jnp.full((batch, 3), 0.5, jnp.float32)
 
-    occ_state = {"occ": occ_fn(grid, opt)}
+    occ_state = {"occ": occ_fn(grid, opt, row_coords)}
 
     # batches cycle over the CENTRAL 60% of the image: row-major ray order
     # means the first/last rows are empty sky, and a benchmark that renders
@@ -176,7 +176,7 @@ def main():
         # refresh the occupancy skip structure every 16 steps, as a real
         # training loop would (trainer occ_refresh_every)
         if i > 0 and i % 16 == 0:
-            occ_state["occ"] = occ_fn(grid, opt)
+            occ_state["occ"] = occ_fn(grid, opt, row_coords)
         s = lo + (i * batch) % max(span, 1)
         r = at.Rays(
             jax.lax.dynamic_slice_in_dim(origins, s, batch),

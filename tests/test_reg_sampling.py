@@ -99,6 +99,40 @@ def test_sparsify_empty_cells_differ_documented():
     )
 
 
+def test_voxel_occupancy_scatter_path_matches_gather_path():
+    """voxel_occupancy(grid, opt, row_coords) (capacity-scatter dense-field
+    build) must equal the reso^3-gather path bit for bit."""
+    from alphasurf_tpu.core.options import RenderOptions
+    from alphasurf_tpu.render.surface import voxel_occupancy
+
+    for st, init in [
+        (defs.SURFACE_TYPE_SDF, "sphere"),
+        (defs.SURFACE_TYPE_UDF, "sphere"),
+        (defs.SURFACE_TYPE_UDF_ALPHA, "single_lv"),
+    ]:
+        g = _pruned_grid(reso=10, seed=st, keep_frac=0.5)
+        base = create_grid(10, surface_type=st, surface_init=init)
+        g = g.replace(
+            surface_data=base.surface_data[: g.capacity]
+            if st != defs.SURFACE_TYPE_UDF_ALPHA else g.surface_data,
+            level_set_data=base.level_set_data,
+            density_data=g.density_data
+            if st != defs.SURFACE_TYPE_UDF_ALPHA
+            else jnp.ones((base.level_set_data.shape[0], 1), jnp.float32),
+            surface_type=st,
+        )
+        rc = reg.row_coords_of(g)
+        for opt in (
+            RenderOptions(sigma_thresh=0.0),
+            RenderOptions(sigma_thresh=-1e9, surf_fake_sample=True),
+            RenderOptions(sigma_thresh=-1e9, surf_fake_sample=True,
+                          limited_fake_sample=True),
+        ):
+            a = np.asarray(voxel_occupancy(g, opt))
+            b = np.asarray(voxel_occupancy(g, opt, rc))
+            np.testing.assert_array_equal(a, b, err_msg=f"type={st} opt={opt}")
+
+
 def test_step_with_row_coords_runs_and_matches_scaleless_gradient_path():
     """The full surface step with row_coords: finite stats, params move,
     and the reg gradients stay nonzero (the reg terms are actually live)."""

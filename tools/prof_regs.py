@@ -43,7 +43,7 @@ def main():
         surf_fake_sample=True, limited_fake_sample=True,
         truncated_vol_render=True,
     )
-    occ = jax.jit(S.voxel_occupancy, static_argnums=1)(grid, opt)
+    occ = jax.jit(S.voxel_occupancy, static_argnums=1)(grid, opt, row_coords)
     gt = jnp.full((batch, 3), 0.5, jnp.float32)
     key = jax.random.PRNGKey(0)
     rms = init_rms(grid)

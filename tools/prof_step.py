@@ -67,7 +67,7 @@ def main():
 
     # 1. occupancy
     occ_fn = jax.jit(S.voxel_occupancy, static_argnums=1)
-    occ, t_occ = timed("voxel_occupancy", occ_fn, grid, opt)
+    occ, t_occ = timed("voxel_occupancy", occ_fn, grid, opt, row_coords)
 
     # 2. phase A only
     @jax.jit
