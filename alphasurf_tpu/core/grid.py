@@ -333,7 +333,12 @@ def gather_corner_links(links: jnp.ndarray, l: jnp.ndarray) -> jnp.ndarray:
     cy = jnp.clip(corners[..., 1], 0, Y - 1)
     cz = jnp.clip(corners[..., 2], 0, Z - 1)
     flat = (cx * Y + cy) * Z + cz
-    return jnp.take(links.reshape(-1), flat, axis=0)
+    # isolated gather (same treatment as render.surface._gather_rows: a
+    # fused in-scan gather can lower pathologically; the barrier forces a
+    # standalone gather kernel)
+    return jax.lax.optimization_barrier(
+        jnp.take(links.reshape(-1), flat, axis=0)
+    )
 
 
 def fetch_links(data: jnp.ndarray, links8: jnp.ndarray) -> jnp.ndarray:

@@ -108,12 +108,31 @@ class SyntheticDataset(DatasetBase):
             sigma_thresh=-1e9, stop_thresh=-1.0, only_outward_intersect=True
         )
         if renderer == "packed":
-            # fast GT path for larger reso (bench_scaling / dryrun): the
-            # packed pool renderer matches the dense walk bit-exactly while
-            # the pool holds all crossings
-            render = jax.jit(functools.partial(
+            # fast GT path for larger reso (bench_scaling / dryrun / recipe
+            # runs): the packed pool renderer matches the dense walk
+            # bit-exactly while the pool holds all crossings. Images render
+            # in fixed 64k-ray chunks (one jit specialization; a full
+            # 800x800 pool would transiently allocate several GB).
+            _chunk_render = jax.jit(functools.partial(
                 volume_render_surface_packed, entries_per_ray=16.0
             ), static_argnums=2)
+            CH = 65536
+
+            def render(g, rays, opt):
+                from ..core.rays import Rays as _Rays
+
+                n = rays.origins.shape[0]
+                if n <= CH:
+                    return _chunk_render(g, rays, opt)
+                parts = []
+                for s in range(0, n, CH):
+                    e = min(s + CH, n)
+                    s_eff = e - CH  # tail chunk overlaps; head rows trimmed
+                    o = jax.lax.dynamic_slice_in_dim(rays.origins, s_eff, CH)
+                    d = jax.lax.dynamic_slice_in_dim(rays.dirs, s_eff, CH)
+                    rgb = _chunk_render(g, _Rays(o, d), opt)["rgb"]
+                    parts.append(rgb[s - s_eff:])
+                return {"rgb": jnp.concatenate(parts, axis=0)}
         else:
             render = functools.partial(volume_render_surface)
         rng = np.random.default_rng(seed + (0 if split == "train" else 1))
@@ -128,7 +147,8 @@ class SyntheticDataset(DatasetBase):
                 el = rng.uniform(-60, 60)
                 c2w = pose_spherical(az, el, 2.7)
                 cam = Camera.make(c2w, fx=focal, width=width, height=height)
-                rays = cam.gen_rays_device()
+                rays = (cam.gen_rays_device() if renderer == "packed"
+                        else cam.gen_rays())
                 out = render(gt_grid, rays, opt)
                 o_all.append(rays.origins)
                 d_all.append(rays.dirs)
@@ -154,7 +174,8 @@ class SyntheticDataset(DatasetBase):
             el = rng.uniform(-60, 60)
             c2w = pose_spherical(az, el, 2.7)
             cam = Camera.make(c2w, fx=focal, width=width, height=height)
-            rays = cam.gen_rays()
+            rays = (cam.gen_rays_device() if renderer == "packed"
+                    else cam.gen_rays())
             out = render(gt_grid, rays, opt)
             imgs.append(np.asarray(out["rgb"]).reshape(height, width, 3))
             c2ws.append(c2w)

@@ -40,6 +40,7 @@ def volume_render_cuvol(
     max_steps: int | None = None,
     return_depth: bool = False,
     depth_sigma_thresh: float | None = None,
+    step_chunk: int = 16,
 ):
     """Render rays with fixed-step sigma ray-marching.
 
@@ -80,37 +81,66 @@ def volume_render_cuvol(
     B = origins.shape[0]
     reso = grid.reso
 
+    # one fused (density | sh | pad) row per corner gather, isolated behind
+    # an optimization barrier — identical treatment to the surface path's
+    # _gather_rows (PERF.md: a fused in-scan gather lowers ~60x slower than
+    # the same take as its own kernel; three separate gathers are ~3x one)
+    from .surface import _gather_rows
+
+    dtype = origins.dtype
+    c = 1 + grid.sh_data.shape[1]
+    pad = (-c) % 8
+    parts = [grid.density_data, grid.sh_data]
+    if pad:
+        parts.append(jnp.zeros((grid.capacity, pad), dtype))
+    packed = jnp.concatenate(parts, axis=1)
+
+    # V samples march per scan iteration as one wide vector pass: the
+    # per-gather-call overhead scales with the TABLE size on TPU (a 128^3
+    # links gather costs ~70 ms per call regardless of index count —
+    # measured), so it must be amortized over many samples per call
+    V = max(1, step_chunk)
+    n_chunks = (max_steps + V - 1) // V
+
     @functools.partial(jax.checkpoint, prevent_cse=False)
-    def step(carry, k):
+    def step(carry, k0):
         log_T, rgb_acc, depth_acc, t_sig = carry
-        t = tmin + k.astype(tmin.dtype) * opt.step_size
-        active = t <= tmax
+        ks = k0 * V + jnp.arange(V, dtype=jnp.int32)  # (V,)
+        t = tmin[:, None] + ks[None, :].astype(tmin.dtype) * opt.step_size
+        active = t <= tmax[:, None]  # (B, V)
 
-        pos = origins + t[..., None] * dirs
+        pos = origins[:, None, :] + t[..., None] * dirs[:, None, :]
         l, frac = voxel_of(pos, reso)
-        links8 = gather_corner_links(grid.links, l)
-        sigma = trilerp(fetch_links(grid.density_data, links8), frac)[..., 0]
-        rgb_sh = trilerp(fetch_links(grid.sh_data, links8), frac)
+        links8 = gather_corner_links(grid.links, l)  # (B, V, 8)
+        v8 = _gather_rows(packed, links8, dtype)  # (B, V, 8, C8)
+        sigma = trilerp(v8[..., :1], frac)[..., 0]  # (B, V)
+        rgb_sh = trilerp(v8[..., 1 : 1 + grid.sh_data.shape[1]], frac)
 
-        world_step = opt.step_size * delta_scale
+        world_step = opt.step_size * delta_scale[:, None]
         if opt.last_sample_opaque:
             # force the final in-bounds sample fully opaque
             # (render_lerp_kernel_cuvol.cu:86-88: world_step = 1e9)
-            world_step = jnp.where(t + opt.step_size > tmax, 1e9, world_step)
+            world_step = jnp.where(t + opt.step_size > tmax[:, None], 1e9,
+                                   world_step)
         log_att = -world_step * jax.nn.relu(sigma)
-        log_att = jnp.where(active, log_att, 0.0)
-        weight = jnp.exp(log_T) * (1.0 - jnp.exp(log_att))
+        log_att = jnp.where(active, log_att, 0.0)  # (B, V)
+        # in-chunk exclusive prefix transmittance (same pattern as the
+        # surface compositor's _voxel_pass)
+        pre = jnp.cumsum(log_att, axis=1) - log_att
+        weight = jnp.exp(log_T[:, None] + pre) * (1.0 - jnp.exp(log_att))
 
-        rgb_sh = rgb_sh.reshape(B, 3, grid.basis_dim)
+        rgb_sh = rgb_sh.reshape(B, V, 3, grid.basis_dim)
         rgb = jnp.clip(
-            jnp.sum(sh_mult[:, None, :] * rgb_sh, axis=-1) + 0.5, min=0.0
-        )
-        rgb_acc = rgb_acc + weight[..., None] * rgb
-        depth_acc = depth_acc + weight * t
-        log_T = log_T + log_att
+            jnp.sum(sh_mult[:, None, None, :] * rgb_sh, axis=-1) + 0.5,
+            min=0.0,
+        )  # (B, V, 3)
+        rgb_acc = rgb_acc + jnp.sum(weight[..., None] * rgb, axis=1)
+        depth_acc = depth_acc + jnp.sum(weight * t, axis=1)
+        log_T = log_T + jnp.sum(log_att, axis=1)
         if depth_sigma_thresh is not None:
             hit = active & (sigma > depth_sigma_thresh)
-            t_sig = jnp.where(hit, jnp.minimum(t_sig, t), t_sig)
+            t_min = jnp.min(jnp.where(hit, t, jnp.inf), axis=1)
+            t_sig = jnp.minimum(t_sig, t_min)
         return (log_T, rgb_acc, depth_acc, t_sig), None
 
     init = (
@@ -120,7 +150,7 @@ def volume_render_cuvol(
         jnp.full(B, jnp.inf, dtype=origins.dtype),
     )
     (log_T, rgb_acc, depth_acc, t_sig), _ = jax.lax.scan(
-        step, init, jnp.arange(max_steps)
+        step, init, jnp.arange(n_chunks)
     )
 
     if grid.use_background:

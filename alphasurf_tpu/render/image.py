@@ -120,8 +120,13 @@ def render_image(
     + normal as requested)."""
     if compact is not None:  # back-compat boolean switch
         renderer = "compact" if compact else "dense"
-    rays = camera.gen_rays()
+    # rays generated ON DEVICE and chunk-sliced there (the host link is
+    # ~0.5 MB/s on the axon relay — host-side ray uploads would dominate);
+    # NDC cameras keep the host path (gen_rays_device has no NDC warp)
+    device_rays = camera.ndc_coeffs[0] <= 0.0
+    rays = camera.gen_rays_device() if device_rays else camera.gen_rays()
     n = rays.origins.shape[0]
+    chunk = min(chunk, n)
     surface = grid.surface_data is not None
     # occupancy once per image, shared by all chunks
     occ = (
@@ -135,13 +140,15 @@ def render_image(
     epr = float(2 ** int(np.ceil(np.log2(max(entries_per_ray, 1.0)))))
     for s in range(0, n, chunk):
         e = min(s + chunk, n)
-        o = np.asarray(rays.origins[s:e])
-        d = np.asarray(rays.dirs[s:e])
-        if e - s < chunk:  # pad to fixed chunk to avoid re-jit
-            pad = chunk - (e - s)
-            o = np.concatenate([o, np.repeat(o[-1:], pad, 0)])
-            d = np.concatenate([d, np.repeat(d[-1:], pad, 0)])
-        oj, dj = jnp.asarray(o), jnp.asarray(d)
+        # a partial tail chunk re-renders the last `chunk` rays ending at e
+        # (the overlap rows are simply rewritten) — one jit specialization
+        s_eff = e - chunk
+        if device_rays:
+            oj = jax.lax.dynamic_slice_in_dim(rays.origins, s_eff, chunk)
+            dj = jax.lax.dynamic_slice_in_dim(rays.dirs, s_eff, chunk)
+        else:
+            oj = jnp.asarray(np.asarray(rays.origins[s_eff:e]))
+            dj = jnp.asarray(np.asarray(rays.dirs[s_eff:e]))
         while True:
             rgb, depth, normal, overflow = _render_chunk(
                 grid, oj, dj, opt, surface, renderer,
@@ -150,9 +157,9 @@ def render_image(
             if renderer != "packed" or int(overflow) == 0 or epr >= entries_per_ray_max:
                 break
             epr = min(entries_per_ray_max, epr * 2)  # sticky for later chunks
-        rgb_out[s:e] = np.asarray(rgb)[: e - s]
-        depth_out[s:e] = np.asarray(depth)[: e - s]
-        normal_out[s:e] = np.asarray(normal)[: e - s]
+        rgb_out[s_eff:e] = np.asarray(rgb)
+        depth_out[s_eff:e] = np.asarray(depth)
+        normal_out[s_eff:e] = np.asarray(normal)
     rgb_img = rgb_out.reshape(camera.height, camera.width, 3)
     outs = (rgb_img,)
     if return_depth:
