@@ -1,0 +1,146 @@
+"""Render-parity check: our packed renderer vs the REFERENCE's pure-torch
+renderer on the SAME trained grid.
+
+Loads a checkpoint produced by this framework, mirrors it into a reference
+``svox2.SparseGrid`` (CPU), renders the same rays with both, and reports
+per-ray agreement (MAE + PSNR between the two renders) — the parity
+evidence BASELINE.md asks for: if the two renderers agree on the trained
+grid, this framework's self-reported PSNR numbers are directly comparable
+to reference-pipeline numbers. The oracle is
+``_surface_render_gradcheck_lerp`` (svox2.py:1596-2857) — the reference's
+own ground truth for its CUDA kernel (test_render_gradcheck_surface.py).
+
+Runs on CPU (torch): python tools/oracle_parity.py CKPT [n_rays] [width]
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tests"))
+
+
+def main(ckpt: str, n_rays: int = 2048, width: int = 200, seed: int = 0):
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    import numpy as np
+
+    import alphasurf_tpu as at
+    from alphasurf_tpu.data.synthetic import pose_spherical
+    from alphasurf_tpu.render.surface import volume_render_surface_packed
+    from alphasurf_tpu.utils.io import load_grid
+    from ref_oracle import load_reference
+
+    import jax.numpy as jnp
+
+    grid, step_id = load_grid(ckpt)
+    # fully-decayed fake_sample_std (~1e-6) makes the Gaussian reweight
+    # numerically ill-conditioned in f32; clamp for the comparison (both
+    # renderers see the same value)
+    if grid.fake_sample_std is not None:
+        grid = grid.replace(fake_sample_std=jnp.maximum(
+            grid.fake_sample_std, 0.05))
+    else:
+        # recipe trains with fake samples off -> std never materialized;
+        # the comparison runs them on, so give BOTH renderers the same std
+        grid = grid.replace(fake_sample_std=jnp.array([[0.1]], jnp.float32))
+    print(f"ckpt step {step_id}: reso={grid.reso} cap={grid.capacity} "
+          f"n_lv={grid.level_set_data.shape[0]}")
+
+    # central rays of a held-out-style view
+    cam = at.Camera.make(
+        pose_spherical(77.0, 23.0, 2.7), fx=1.2 * width, width=width,
+        height=width,
+    )
+    rays = cam.gen_rays()
+    origins = np.asarray(rays.origins)
+    dirs = np.asarray(rays.dirs)
+    rng = np.random.default_rng(seed)
+    # center-biased subset: rows 30-70%
+    n = origins.shape[0]
+    lo, hi = int(n * 0.3), int(n * 0.7)
+    sel = rng.choice(np.arange(lo, hi), size=min(n_rays, hi - lo), replace=False)
+    origins, dirs = origins[sel], dirs[sel]
+
+    # surf_fake_sample stays ON for the comparison: the reference oracle
+    # CRASHES with truncated_vol_render and fake samples off
+    # (svox2.py:2550 uses fake_sample_ids before assignment); the recipe
+    # decays fake_sample_std to ~1e-6 so their contribution is negligible
+    opt = at.RenderOptions(
+        sigma_thresh=-10000.0, stop_thresh=-10000.0,
+        only_outward_intersect=True, truncated_vol_render=True,
+        trunc_vol_weight_min=1e-10, surf_fake_sample=True,
+        limited_fake_sample=True,
+    )
+    ours = np.asarray(
+        volume_render_surface_packed(
+            grid, at.Rays(jnp.asarray(origins), jnp.asarray(dirs)), opt,
+            entries_per_ray=64.0,
+        )["rgb"]
+    )
+
+    # mirror into the reference grid
+    ref = load_reference()
+    import torch
+
+    g = ref.SparseGrid(
+        reso=list(grid.reso), radius=np.asarray(grid.radius).tolist(),
+        center=np.asarray(grid.center).tolist(), basis_dim=grid.basis_dim,
+        device="cpu", surface_type=ref.SURFACE_TYPE_SDF,
+        surface_init="sphere", use_octree=False,
+        trainable_fake_sample_std=True,
+    )
+    g.links = torch.from_numpy(np.asarray(grid.links)).to(torch.int32)
+    g.density_data = torch.nn.Parameter(
+        torch.from_numpy(np.asarray(grid.density_data)).float())
+    g.sh_data = torch.nn.Parameter(
+        torch.from_numpy(np.asarray(grid.sh_data)).float())
+    g.surface_data = torch.nn.Parameter(
+        torch.from_numpy(np.asarray(grid.surface_data)).float())
+    g.level_set_data = torch.from_numpy(
+        np.asarray(grid.level_set_data)).float()
+    fss = (np.asarray(grid.fake_sample_std)
+           if grid.fake_sample_std is not None else np.array([[0.1]]))
+    g.fake_sample_std = torch.nn.Parameter(torch.from_numpy(fss).float())
+    g.truncated_vol_render_a = torch.tensor(
+        float(grid.truncated_vol_render_a)).float()
+    g.opt.sigma_thresh = opt.sigma_thresh
+    g.opt.stop_thresh = opt.stop_thresh
+    g.opt.only_outward_intersect = opt.only_outward_intersect
+    g.opt.truncated_vol_render = opt.truncated_vol_render
+    g.opt.trunc_vol_weight_min = opt.trunc_vol_weight_min
+    g.opt.surf_fake_sample = opt.surf_fake_sample
+    g.opt.limited_fake_sample = opt.limited_fake_sample
+    g.opt.alpha_activation_type = ref.EXP_FN
+    g.opt.background_brightness = opt.background_brightness
+    g.opt.fake_sample_normalize_surf = opt.fake_sample_normalize_surf
+    g.opt.surf_fake_sample_min_vox_len = opt.surf_fake_sample_min_vox_len
+    g.opt.near_clip = opt.near_clip
+    g.opt.use_spheric_clip = opt.use_spheric_clip
+    g.opt.last_sample_opaque = opt.last_sample_opaque
+
+    rays_t = ref.Rays(
+        torch.from_numpy(origins).double(), torch.from_numpy(dirs).double()
+    )
+    out = g._surface_render_gradcheck_lerp(rays_t, dtype=torch.double)
+    theirs = out["rgb"].detach().numpy()
+
+    diff = np.abs(ours - theirs)
+    mse = float(np.mean((ours - theirs) ** 2))
+    res = {
+        "n_rays": int(origins.shape[0]),
+        "mae": float(diff.mean()),
+        "max_abs": float(diff.max()),
+        "psnr_between_renderers": float(-10 * np.log10(max(mse, 1e-20))),
+        "frac_within_1_256": float((diff.max(-1) < 1.0 / 256).mean()),
+    }
+    print("ORACLE PARITY " + json.dumps(res))
+    return res
+
+
+if __name__ == "__main__":
+    main(sys.argv[1], *map(int, sys.argv[2:]))
