@@ -126,21 +126,44 @@ def _cubic_roots_raw(f0, f1, f2, f3):
     Bv = jnp.where(A == 0.0, 0.0, Q / jnp.where(A == 0.0, 1.0, A))
     t_s = A + Bv - b / 3.0
 
-    no = jnp.full_like(f0, NO_ROOT)
     r0 = jnp.where(
         three_real, t_c0,
-        jnp.where(one_real, t_s, jnp.where(has2, t_q0, jnp.where(is1, t_lin, no))),
+        jnp.where(one_real, t_s, jnp.where(has2, t_q0, jnp.where(is1, t_lin, 0.0))),
     )
-    r1 = jnp.where(three_real, t_c1, jnp.where(has2, t_q1, no))
-    r2 = jnp.where(three_real, t_c2, no)
+    r1 = jnp.where(three_real, t_c1, jnp.where(has2, t_q1, 0.0))
+    r2 = jnp.where(three_real, t_c2, 0.0)
     roots = jnp.stack([r0, r1, r2], axis=-1)
+    has = jnp.stack(
+        [three_real | one_real | has2 | is1, three_real | has2, three_real],
+        axis=-1,
+    )
+    # Newton polish: the closed-form solution loses up to ~1e-2 of the root
+    # in f32 when the cubic is near-degenerate (f3 ~ 1e-6 after
+    # cancellation gives root spreads of 1e4), and XLA's fusion choices
+    # make the error context-dependent — the same coefficients produced a
+    # root 0.02 too large inside a lax.scan, pushing an intersection out of
+    # its voxel (the reference solves in double for exactly this reason,
+    # surf_trav.cu:257-305). The polynomial itself is well conditioned at
+    # simple roots, so two Newton steps restore ~1e-7 accuracy; steps are
+    # clamped and skipped near f' ~ 0 (multiple roots).
+    for _ in range(2):
+        ft = eval_cubic(roots, f0[..., None], f1[..., None], f2[..., None],
+                        f3[..., None])
+        fp = eval_cubic_deriv(roots, f1[..., None], f2[..., None],
+                              f3[..., None])
+        ok = jnp.abs(fp) > 1e-6
+        step = jnp.where(ok, ft / jnp.where(ok, fp, 1.0), 0.0)
+        roots = roots - jnp.clip(step, -0.5, 0.5)
     # Roots are in voxel-entry-relative t (the _01 re-origin trick), so any
     # geometrically meaningful root is O(1). Near-degenerate coefficients
     # (|f1| ~ atol after cancellation) produce astronomically large "roots"
     # whose powers overflow f32 in the implicit-diff JVP (t^3 = inf ->
     # 0 * inf = NaN in masked gradients). Discard them here: they can never
-    # pass the in-voxel check anyway.
-    return jnp.where(jnp.abs(roots) < _ROOT_MAX, roots, NO_ROOT)
+    # pass the in-voxel check anyway. The explicit ``has`` mask (not a
+    # sentinel compare) is returned because a genuine root can equal the
+    # -1.0 sentinel exactly after polishing.
+    has = has & (jnp.abs(roots) < _ROOT_MAX)
+    return jnp.where(has, roots, NO_ROOT), has
 
 
 @jax.custom_jvp
@@ -150,15 +173,14 @@ def cubic_roots(f0, f1, f2, f3):
     Slots without a real root hold NO_ROOT (-1). Gradients flow to the
     coefficients by implicit differentiation (see module docstring).
     """
-    return _cubic_roots_raw(f0, f1, f2, f3)
+    return _cubic_roots_raw(f0, f1, f2, f3)[0]
 
 
 @cubic_roots.defjvp
 def _cubic_roots_jvp(primals, tangents):
     f0, f1, f2, f3 = primals
     df0, df1, df2, df3 = tangents
-    t = _cubic_roots_raw(f0, f1, f2, f3)
-    valid = t != NO_ROOT
+    t, valid = _cubic_roots_raw(f0, f1, f2, f3)
     # powers only of valid roots: NO_ROOT slots would otherwise feed
     # 0 * t^3 products that turn into NaN when t overflows
     ts = jnp.where(valid, t, 0.0)

@@ -87,12 +87,20 @@ def next_crossing(origins, dirs, t, atol=_EPS_INT):
 
     Equivalent of ``find_next_intersection`` (svox2.py:1451-1505) minus the
     in-grid check (callers compare against tmax instead).
+
+    The on-plane band scales with |position|: f32 roundoff of o + t*d is
+    relative (~1.2e-7 * |pos|), and a sub-roundoff absolute band makes the
+    walk stall at planes in ~1e-6 increments until the scan budget runs
+    out — rays then silently lose all later crossings (~6% of rays at
+    64^3 before this fix; plane spacing is 1.0, so a scaled band of
+    ~2e-6 * |pos| can never merge two distinct planes).
     """
     pos = origins + t[..., None] * dirs
+    tol = atol * 2.0 * (1.0 + jnp.abs(pos))
     fl = jnp.floor(pos)
-    on_plane = jnp.abs(fl - pos) <= atol
+    on_plane = jnp.abs(fl - pos) <= tol
     ce = jnp.ceil(pos)
-    on_plane_c = jnp.abs(ce - pos) <= atol
+    on_plane_c = jnp.abs(ce - pos) <= tol
     next_up = jnp.where(on_plane_c, ce + 1.0, ce)
     next_dn = jnp.where(on_plane, fl - 1.0, fl)
     next_plane = jnp.where(dirs >= 0, next_up, next_dn)

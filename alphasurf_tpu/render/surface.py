@@ -223,10 +223,20 @@ def _voxel_samples(
     # Precontract SH coefficients with the per-ray basis once per voxel:
     # rgb(frac) = clip(sum_k w8_k(frac) * c_k + 0.5) where
     # c_k = sum_b sh8[k, ch*bd+b] * sh_mult[b]  — 8x3 per ray, reused by all
-    # sample slots. Elementwise multiply-reduce (VPU), never a tiny matmul.
-    sh_r = sh8.reshape(B, V, 8, 3, grid.basis_dim)
-    corner_rgb = jnp.sum(
-        sh_r * sh_mult[:, None, None, None, :], axis=-1
+    # sample slots. Elementwise multiply-reduce (VPU), never a tiny matmul,
+    # and never a (..., 8, 3, bd) reshape: a layout-changing reshape copy
+    # gets tile-padded (3, bd) -> (8, 128) on TPU — a 16x memory blowup
+    # that OOM'd the 256^3 recipe step. Slice+reduce fuses instead.
+    bd = grid.basis_dim
+    corner_rgb = jnp.stack(
+        [
+            jnp.sum(
+                sh8[..., c * bd : (c + 1) * bd]
+                * sh_mult[:, None, None, :], axis=-1
+            )
+            for c in range(3)
+        ],
+        axis=-1,
     )  # (B, V, 8, 3)
 
     if grid.surface_type == defs.SURFACE_TYPE_VOXEL_FACE:
@@ -336,8 +346,16 @@ def _voxel_samples(
         w8_sh = trilerp_weights(jax.lax.stop_gradient(frac_safe))
     else:
         w8_sh = w8
+    # per-channel corner reduce (no (B,V,S,8,3) intermediate — see the
+    # corner_rgb layout note above)
     rgb_s = jnp.clip(
-        jnp.sum(w8_sh[..., None] * corner_rgb[:, :, None, :, :], axis=3) + 0.5,
+        jnp.stack(
+            [
+                jnp.sum(w8_sh * corner_rgb[:, :, None, :, c], axis=-1)
+                for c in range(3)
+            ],
+            axis=-1,
+        ) + 0.5,
         min=0.0,
     )  # (B, V, S0, 3)
     contrib = geo_ok & (raw_a > opt.sigma_thresh)

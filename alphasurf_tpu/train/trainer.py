@@ -379,10 +379,21 @@ class Trainer:
 
     def _size_pool_from_grid(self):
         """Proactively size the packed renderer's global pool: expected
-        occupied crossings/ray ~ linked-cell fraction x mean path length
-        (in voxels), with margin. Reactive growth still covers the rest."""
+        occupied crossings/ray ~ occupied-voxel fraction x mean path length
+        (in voxels), with margin. Uses the HULL-FILTERED voxel occupancy
+        (what phase A actually visits — a thin level-set shell), not the
+        link fraction: right after surface init the sphere INTERIOR still
+        has links (occ_frac ~0.2 at 256^3) but contributes no crossings,
+        and sizing from links capped the pool at 64/ray = a 36 GB phase-B
+        allocation. Reactive growth still covers the rest."""
         g = self.grid
-        occ_frac = g.capacity / max(1, int(np.prod(g.links.shape)))
+        if g.surface_data is not None:
+            opt = render_options_from(self.cfg, no_surface=False)
+            self._occ = self._occ_fn(g, opt, self._get_row_coords())
+            self._occ_step = self.gstep
+            occ_frac = float(jnp.mean(self._occ))
+        else:
+            occ_frac = g.capacity / max(1, int(np.prod(g.links.shape)))
         est = 1.6 * occ_frac * float(np.mean(g.links.shape)) + 4.0
         if est > self._entries_cap:
             self.log(

@@ -166,3 +166,36 @@ def test_f32_close_to_f64():
 
     gs = jax.grad(loss_fn)(gj32.surface_data)
     assert np.all(np.isfinite(np.asarray(gs)))
+
+
+def test_dense_walk_f32_loses_no_crossings():
+    """f32 dense-walk regression (round 4): the on-plane band of
+    dda.next_crossing must scale with |pos| or f32 roundoff stalls the walk
+    at planes until the scan budget runs out — ~6% of rays of this scene
+    rendered pure background while the packed renderer (and the f64 walk)
+    found their intersections."""
+    import jax.numpy as jnp
+
+    from alphasurf_tpu.data.synthetic import make_gt_grid, pose_spherical
+    from alphasurf_tpu.render.surface import (
+        volume_render_surface,
+        volume_render_surface_packed,
+    )
+
+    g = make_gt_grid(reso=32)
+    cam = at.Camera.make(
+        pose_spherical(0.0, 0.0, 2.5), fx=60.0, width=48, height=48
+    )
+    rays = cam.gen_rays()
+    rays = at.Rays(
+        rays.origins.astype(jnp.float32), rays.dirs.astype(jnp.float32)
+    )
+    opt = at.RenderOptions(
+        sigma_thresh=-1e9, stop_thresh=-1.0, only_outward_intersect=True
+    )
+    dense = np.asarray(volume_render_surface(g, rays, opt)["rgb"])
+    packed = np.asarray(
+        volume_render_surface_packed(g, rays, opt, entries_per_ray=16.0)["rgb"]
+    )
+    bad = (np.abs(dense - packed).max(-1) > 1e-3).sum()
+    assert bad == 0, f"{bad} rays lost crossings in the f32 dense walk"

@@ -153,7 +153,7 @@ def main(
         n_eval_test=3, final_render_eval=False,
         log_pts=True, eval_cf=True, surf_eval_n_sample=3,
         surf_eval_intersect_th=0.1,
-        entries_per_ray=8.0, entries_per_ray_max=64.0,
+        entries_per_ray=8.0, entries_per_ray_max=32.0,
         tune_mode=True, nosphereinit=False,
     )
     tr = Trainer(cfg, dset, dset_test)
