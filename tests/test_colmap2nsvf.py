@@ -121,3 +121,20 @@ def test_loader_consumes_converted(tmp_path):
     assert ds.rays is not None and len(ds.rays) == 4 * 48 * 64
     ds_test = NSVFDataset(str(tmp_path / "scene"), split="test")
     assert ds_test.n_images == 2
+
+
+def test_downsample(tmp_path):
+    import imageio.v2 as imageio
+
+    img_dir = tmp_path / "images"
+    img_dir.mkdir()
+    rng = np.random.default_rng(0)
+    for i in range(3):
+        imageio.imwrite(img_dir / f"{i}.png",
+                        rng.integers(0, 255, (32, 48, 3), dtype=np.uint8))
+    from alphasurf_tpu.app.preprocess import downsample
+
+    out = downsample(str(img_dir), 2)
+    assert out == str(tmp_path / "images_2")
+    im = imageio.imread(tmp_path / "images_2" / "0.png")
+    assert im.shape[:2] == (16, 24)
