@@ -329,6 +329,172 @@ def alpha_surf_sparsify_loss(
     return jnp.mean(scale_alpha * alpha_loss + scale_surf * surf_loss)
 
 
+def _dense_field(grid: SparseGrid, rows: jnp.ndarray,
+                 row_coords: jnp.ndarray, fill: float = 0.0) -> jnp.ndarray:
+    """Scatter packed per-vertex values onto the dense lattice (X, Y, Z).
+
+    The scatter's VJP is a GATHER at the same positions, so dense-volume
+    losses have no backward scatter at all — the TPU answer to the
+    reference's full-lattice regularizer passes (tv_surface_sparsity = 1,
+    norm_surface_sparsity = 1 in surface_cuda_syn.yaml, where the CUDA
+    kernels sweep all reso^3 cells every step, loss_kernel.cu:747)."""
+    X, Y, Z = grid.reso
+    flat_pos = (row_coords[:, 0] * Y + row_coords[:, 1]) * Z + row_coords[:, 2]
+    base = jnp.full((X * Y * Z,), fill, rows.dtype)
+    return base.at[flat_pos].set(rows, mode="drop").reshape(X, Y, Z)
+
+
+def surface_tv_loss_dense(grid: SparseGrid, row_coords: jnp.ndarray,
+                          alpha_weighted: bool = False):
+    """Full-lattice surface TV — every cell, matching the recipe's
+    tv_surface_sparsity = 1 (surf_tv_grad_sparse over all cells). Value
+    convention matches ``surface_tv_loss`` over cells = arange(links.size)
+    including its sqrt(1e-5) floor on empty cells (zero gradient)."""
+    surf = _dense_field(grid, grid.surface_data[:, 0], row_coords)
+    present = grid.links >= 0
+    ok0 = present
+    dx = jnp.where(ok0[:-1] & present[1:], surf[1:] - surf[:-1], 0.0)
+    dy = jnp.where(ok0[:, :-1] & present[:, 1:], surf[:, 1:] - surf[:, :-1], 0.0)
+    dz = jnp.where(ok0[..., :-1] & present[..., 1:], surf[..., 1:] - surf[..., :-1], 0.0)
+    X, Y, Z = grid.reso
+    # pad the forward differences back to (X, Y, Z): cells at the high edge
+    # have out-of-bounds neighbors -> zero diff (the _link_at(-1) path)
+    dx = jnp.pad(dx, ((0, 1), (0, 0), (0, 0)))
+    dy = jnp.pad(dy, ((0, 0), (0, 1), (0, 0)))
+    dz = jnp.pad(dz, ((0, 0), (0, 0), (0, 1)))
+    per_cell = jnp.sqrt(1e-5 + dx * dx + dy * dy + dz * dz)
+    if alpha_weighted:
+        a = _dense_field(grid, grid.density_data[:, 0], row_coords)
+        per_cell = per_cell * jax.lax.stop_gradient(jax.nn.sigmoid(a))
+    return jnp.mean(per_cell)
+
+
+def surface_normal_loss_dense(
+    grid: SparseGrid,
+    row_coords: jnp.ndarray,
+    connectivity_check: bool = True,
+    ignore_empty: bool = False,
+    use_l1: bool = False,
+):
+    """Full-lattice normal-consistency regularizer — every cell, matching
+    the recipe's norm_surface_sparsity = 1. Same math as
+    ``surface_normal_loss``; neighborhood fetches become shifted slices of
+    the dense surface/presence volumes (zero gathers, zero scatters)."""
+    surf = _dense_field(grid, grid.surface_data[:, 0], row_coords)
+    present = grid.links >= 0
+    X, Y, Z = grid.reso
+
+    def sl(v, dx, dy, dz, ext=3):
+        """v[(dx):(dx+X-ext+1), ...] — local-offset slice over the cell
+        window (cells range over [0, X-ext]^3 base coords)."""
+        return v[dx : dx + X - ext + 1, dy : dy + Y - ext + 1,
+                 dz : dz + Z - ext + 1]
+
+    def cell_normal(bx, by, bz):
+        """Corner-averaged gradient of the cell at base offset (bx,by,bz)
+        within the 3-wide window (same math as _cell_normal)."""
+        def S(i, j, k):
+            return sl(surf, bx + i, by + j, bz + k)
+
+        dx = ((S(1, 0, 0) + S(1, 0, 1) + S(1, 1, 0) + S(1, 1, 1))
+              - (S(0, 0, 0) + S(0, 0, 1) + S(0, 1, 0) + S(0, 1, 1))) / 4
+        dy = ((S(0, 1, 0) + S(0, 1, 1) + S(1, 1, 0) + S(1, 1, 1))
+              - (S(0, 0, 0) + S(0, 0, 1) + S(1, 0, 0) + S(1, 0, 1))) / 4
+        dz = ((S(0, 0, 1) + S(0, 1, 1) + S(1, 0, 1) + S(1, 1, 1))
+              - (S(0, 0, 0) + S(0, 1, 0) + S(1, 0, 0) + S(1, 1, 0))) / 4
+        return dx, dy, dz
+
+    def exists(bx, by, bz):
+        m = None
+        for di in (0, 1):
+            for dj in (0, 1):
+                for dk in (0, 1):
+                    s = sl(present, bx + di, by + dj, bz + dk)
+                    m = s if m is None else m & s
+        return m
+
+    def empty(bx, by, bz):
+        mn = mx = None
+        for di in (0, 1):
+            for dj in (0, 1):
+                for dk in (0, 1):
+                    s = sl(surf, bx + di, by + dj, bz + dk)
+                    mn = s if mn is None else jnp.minimum(mn, s)
+                    mx = s if mx is None else jnp.maximum(mx, s)
+        return (mx <= 0) | (mn >= 0)
+
+    def unit(v3):
+        sq = v3[0] ** 2 + v3[1] ** 2 + v3[2] ** 2
+        nrm = jnp.sqrt(jnp.where(sq > 1e-20, sq, 1e-20))
+        nrm = jnp.maximum(nrm, 1e-10)
+        return tuple(c / nrm for c in v3)
+
+    N000 = unit(cell_normal(0, 0, 0))
+    N001 = unit(cell_normal(0, 0, 1))
+    N010 = unit(cell_normal(0, 1, 0))
+    N100 = unit(cell_normal(1, 0, 0))
+
+    if use_l1:
+        dz_ = sum(jnp.abs(a - b) for a, b in zip(N001, N000))
+        dy_ = sum(jnp.abs(a - b) for a, b in zip(N010, N000))
+        dx_ = sum(jnp.abs(a - b) for a, b in zip(N100, N000))
+    else:
+        dz_ = sum((a - b) ** 2 for a, b in zip(N001, N000))
+        dy_ = sum((a - b) ** 2 for a, b in zip(N010, N000))
+        dx_ = sum((a - b) ** 2 for a, b in zip(N100, N000))
+
+    m000 = exists(0, 0, 0)
+    m001 = exists(0, 0, 1)
+    m010 = exists(0, 1, 0)
+    m100 = exists(1, 0, 0)
+
+    if connectivity_check:
+        def face_con(vals):
+            mn = jnp.minimum(jnp.minimum(vals[0], vals[1]),
+                             jnp.minimum(vals[2], vals[3]))
+            mx = jnp.maximum(jnp.maximum(vals[0], vals[1]),
+                             jnp.maximum(vals[2], vals[3]))
+            con = None
+            for i in range(grid.level_set_data.shape[0]):
+                lv = grid.level_set_data[i]
+                c = (lv >= mn) & (lv <= mx)
+                con = c if con is None else con | c
+            return con
+
+        con001 = face_con([sl(surf, 0, 0, 1), sl(surf, 0, 1, 1),
+                           sl(surf, 1, 0, 1), sl(surf, 1, 1, 1)])
+        con010 = face_con([sl(surf, 0, 1, 0), sl(surf, 0, 1, 1),
+                           sl(surf, 1, 1, 0), sl(surf, 1, 1, 1)])
+        con100 = face_con([sl(surf, 1, 0, 0), sl(surf, 1, 0, 1),
+                           sl(surf, 1, 1, 0), sl(surf, 1, 1, 1)])
+    else:
+        ones = jnp.ones_like(m000)
+        con001 = con010 = con100 = ones
+
+    if ignore_empty:
+        e000, e001 = empty(0, 0, 0), empty(0, 0, 1)
+        e010, e100 = empty(0, 1, 0), empty(1, 0, 0)
+    else:
+        zeros = jnp.zeros_like(m000)
+        e000 = e001 = e010 = e100 = zeros
+
+    skip_z = (~m001) | (~m000) | (~con001) | (e000 & e001)
+    skip_y = (~m010) | (~m000) | (~con010) | (e000 & e010)
+    skip_x = (~m100) | (~m000) | (~con100) | (e000 & e100)
+
+    count = 3.0 - skip_z - skip_y - skip_x
+    dz_ = jnp.where(skip_z, 0.0, dz_)
+    dy_ = jnp.where(skip_y, 0.0, dy_)
+    dx_ = jnp.where(skip_x, 0.0, dx_)
+    per_cell = jnp.where(
+        count != 0, (dx_ + dy_ + dz_) / jnp.where(count == 0, 1.0, count), 0.0
+    )
+    # the sampled version averages over its cell list; the full lattice is
+    # links.size cells — cells whose 3x3x3 window leaves the grid contribute
+    # 0 there (out-of-bounds links are -1 -> skip), so pad-normalize
+    return jnp.sum(per_cell) / grid.links.size
+
+
 def surface_norm_match_loss(grid: SparseGrid, cells: jnp.ndarray):
     """Match the surface-field gradient direction to the raw-alpha gradient
     direction (_surface_norm_match_loss_grad_check, svox2.py:5474-5521).

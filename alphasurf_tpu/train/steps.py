@@ -294,17 +294,37 @@ def make_surface_step(cfg: StepConfig, jit: bool = True):
             loss += reg_scale * hp.lambda_tv_alpha * reg.tv_loss(g, density, cells_tv)
             cells_tvsh = sample(k_tvsh, g, cfg.tv_sh_sparsity)
             loss += reg_scale * hp.lambda_tv_sh * reg.tv_loss(g, sh, cells_tvsh)
-            cells_tvs = sample(k_tvsurf, g, cfg.tv_surface_sparsity)
-            loss += reg_scale * hp.lambda_tv_surface * reg.surface_tv_loss(
-                g, cells_tvs, alpha_weighted=cfg.surf_tv_alpha_weighted
-            )
-            cells_n = sample(k_norm, g, cfg.norm_surface_sparsity)
-            loss += reg_scale * hp.lambda_normal_l1 * reg.surface_normal_loss(
-                g, cells_n, cfg.norm_con_check, cfg.norm_ignore_empty, use_l1=True
-            )
-            loss += reg_scale * hp.lambda_normal_l2 * reg.surface_normal_loss(
-                g, cells_n, cfg.norm_con_check, cfg.norm_ignore_empty, use_l1=False
-            )
+            # full-lattice coverage (the recipe sets tv_surface_sparsity =
+            # norm_surface_sparsity = 1) dispatches to the DENSE volume
+            # formulation: shifted-slice math on a scattered field whose
+            # VJP is a gather — sweeping all reso^3 cells by sampling would
+            # cost seconds/step (see losses/reg.py)
+            dense_ok = row_coords is not None
+            if dense_ok and cfg.tv_surface_sparsity >= 0.5:
+                loss += hp.lambda_tv_surface * reg.surface_tv_loss_dense(
+                    g, rc, alpha_weighted=cfg.surf_tv_alpha_weighted
+                )
+            else:
+                cells_tvs = sample(k_tvsurf, g, cfg.tv_surface_sparsity)
+                loss += reg_scale * hp.lambda_tv_surface * reg.surface_tv_loss(
+                    g, cells_tvs, alpha_weighted=cfg.surf_tv_alpha_weighted
+                )
+            if dense_ok and cfg.norm_surface_sparsity >= 0.5:
+                loss += hp.lambda_normal_l1 * reg.surface_normal_loss_dense(
+                    g, rc, cfg.norm_con_check, cfg.norm_ignore_empty, use_l1=True
+                )
+                loss += hp.lambda_normal_l2 * reg.surface_normal_loss_dense(
+                    g, rc, cfg.norm_con_check, cfg.norm_ignore_empty, use_l1=False
+                )
+                cells_n = sample(k_norm, g, cfg.norm_surface_sparsity)
+            else:
+                cells_n = sample(k_norm, g, cfg.norm_surface_sparsity)
+                loss += reg_scale * hp.lambda_normal_l1 * reg.surface_normal_loss(
+                    g, cells_n, cfg.norm_con_check, cfg.norm_ignore_empty, use_l1=True
+                )
+                loss += reg_scale * hp.lambda_normal_l2 * reg.surface_normal_loss(
+                    g, cells_n, cfg.norm_con_check, cfg.norm_ignore_empty, use_l1=False
+                )
             cells_s = sample(k_sp, g, cfg.sparsify_sparsity)
             loss += reg_scale * reg.alpha_surf_sparsify_loss(
                 g, cells_s, hp.lambda_sparsify_alpha, hp.lambda_sparsify_surf,

@@ -162,3 +162,37 @@ def test_step_with_row_coords_runs_and_matches_scaleless_gradient_path():
     assert np.isfinite(float(stats["loss"]))
     assert np.isfinite(np.asarray(g2.surface_data)).all()
     assert np.abs(np.asarray(g2.surface_data) - g0_surf).max() > 0
+
+
+def test_dense_reg_matches_full_lattice_sampling():
+    """surface_tv_loss_dense / surface_normal_loss_dense == the sampled
+    versions evaluated over EVERY lattice cell (the recipe's sparsity=1),
+    in both value and gradients."""
+    g = _pruned_grid(reso=10, seed=2, keep_frac=0.5)
+    rc = reg.row_coords_of(g)
+    all_cells = jnp.arange(g.links.size, dtype=jnp.int32)
+
+    for dense_fn, samp_fn in [
+        (lambda gg: reg.surface_tv_loss_dense(gg, rc, alpha_weighted=False),
+         lambda gg: reg.surface_tv_loss(gg, all_cells, alpha_weighted=False)),
+        (lambda gg: reg.surface_tv_loss_dense(gg, rc, alpha_weighted=True),
+         lambda gg: reg.surface_tv_loss(gg, all_cells, alpha_weighted=True)),
+        (lambda gg: reg.surface_normal_loss_dense(gg, rc, True, False, True),
+         lambda gg: reg.surface_normal_loss(gg, all_cells, True, False, True)),
+        (lambda gg: reg.surface_normal_loss_dense(gg, rc, False, True, False),
+         lambda gg: reg.surface_normal_loss(gg, all_cells, False, True, False)),
+    ]:
+        def with_params(fn):
+            def f(surf, dens):
+                gg = g.replace(surface_data=surf, density_data=dens)
+                return fn(gg)
+            return f
+
+        vd, gd = jax.value_and_grad(with_params(dense_fn), argnums=(0, 1))(
+            g.surface_data, g.density_data)
+        vs, gs = jax.value_and_grad(with_params(samp_fn), argnums=(0, 1))(
+            g.surface_data, g.density_data)
+        np.testing.assert_allclose(float(vd), float(vs), rtol=1e-5, atol=1e-7)
+        for a, b in zip(gd, gs):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-5, atol=1e-7)

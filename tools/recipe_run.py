@@ -124,9 +124,9 @@ def main(
         # lambda_tv_sh: plenoxels stage wants 1e-3, the surface recipe 0;
         # one shared knob here — the plenoxels value stays on (deviation)
         lambda_tv_alpha=1e-5, lambda_tv_surface=1e-3,
-        # full-lattice reg coverage (sparsity=1) is the recipe value; 0.05
-        # keeps the capacity-scaled sampler's cost bounded (deviation)
-        tv_surface_sparsity=0.05, norm_surface_sparsity=0.05,
+        # full-lattice reg coverage, the recipe value (dispatches to the
+        # dense-volume formulation, losses/reg.py *_dense)
+        tv_surface_sparsity=1.0, norm_surface_sparsity=1.0,
         surf_normal_loss_lambda_type="const",
         lambda_normal_loss=1e-6, surf_norm_reg_l1=True,
         no_surf_norm_con_check=True,
