@@ -394,14 +394,22 @@ class Trainer:
             occ_frac = float(jnp.mean(self._occ))
         else:
             occ_frac = g.capacity / max(1, int(np.prod(g.links.shape)))
-        est = 1.6 * occ_frac * float(np.mean(g.links.shape)) + 4.0
+        est = 1.2 * occ_frac * float(np.mean(g.links.shape)) + 4.0
         if est > self._entries_cap:
             self.log(
                 f"[pool] WARNING: estimated {est:.0f} crossings/ray exceeds "
                 f"entries_per_ray_max={self._entries_cap:.0f}; raise it if "
                 f"overflow persists"
             )
-        new_epr = self._pow2(min(self._entries_cap, max(self._entries_per_ray, est)))
+        # re-estimate from scratch (may SHRINK): a surface-init transition
+        # replaces a filled density grid (link occupancy ~0.2) with a thin
+        # level-set shell — carrying the density-stage pool size into the
+        # surface stage allocates phase-B intermediates for crossings that
+        # can no longer exist (the 256^3 recipe OOM). Reactive growth
+        # covers underestimates, and overflowing steps never apply.
+        new_epr = self._pow2(
+            min(self._entries_cap, max(float(self.cfg.entries_per_ray), est))
+        )
         if new_epr != self._entries_per_ray:
             self.log(
                 f"[pool] sizing entries_per_ray {self._entries_per_ray} -> "
