@@ -104,6 +104,7 @@ class StepConfig:
     lumisphere_sparsity: float = 0.01
     viscosity_eta: float = 1e-2
     # which extended regularizers to trace in (0-lambda still costs compile)
+    use_eikonal: bool = False
     use_norm_match: bool = False
     use_viscosity: bool = False
     use_sign_change: bool = False
@@ -330,7 +331,10 @@ def make_surface_step(cfg: StepConfig, jit: bool = True):
                 g, cells_s, hp.lambda_sparsify_alpha, hp.lambda_sparsify_surf,
                 cfg.sparsify_surf_decrease, cfg.sparsify_surf_thresh,
             )
-            loss += reg_scale * hp.lambda_eikonal * reg.surface_eikonal_loss(g, cells_n)
+            if cfg.use_eikonal:
+                # traced only when enabled: its (n, 2, 2, 2) neighborhood
+                # pads 64x on TPU — 8.9 GB of dead weight at sparsity=1
+                loss += reg_scale * hp.lambda_eikonal * reg.surface_eikonal_loss(g, cells_n)
 
             # extended surface regularizers (traced in only when enabled)
             if cfg.use_norm_match:

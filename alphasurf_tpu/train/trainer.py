@@ -250,6 +250,7 @@ class Trainer:
             rms_beta=cfg.rms_beta,
             surf_grad_abs_max=cfg.surf_grad_abs_max,
             use_two_pass_losses=(cfg.lambda_conv_mode_samp > 0 or cfg.lambda_l_samp_dist > 0),
+            use_eikonal=cfg.lambda_surface_eikonal > 0,
             renderer=cfg.surface_renderer,
             entries_per_ray=self._entries_per_ray,
             supers_per_ray=self._supers_per_ray,

@@ -7,10 +7,11 @@ grid sizes and 800x800 image resolution, on the synthetic sphere scene
 (no real datasets exist in this environment — zero egress).
 
 Documented deviations from the reference recipe (surface_cuda_syn.yaml):
-  * batch 12288 rays (2.5x the reference's 5000) with iteration counts
-    scaled down accordingly — the phase-B pool intermediates scale with
-    batch x entries_per_ray, and ~400k pool entries is the comfortable
-    HBM envelope at 512^3 alongside params + optimizer state;
+  * batch 8192 rays (1.6x the reference's 5000) with iteration counts
+    scaled down accordingly — phase-B pool intermediates scale with
+    batch x entries_per_ray x slots and ~260k pool entries is the
+    comfortable HBM envelope with two level sets alongside params +
+    optimizer state;
   * alpha-threshold upsampling (no camera-weight sweep) and no visibility
     pruning at surface init — keeps the stage transitions cheap;
   * the scene is the procedural SDF sphere (smooth geometry, SH-4 color),
@@ -39,8 +40,8 @@ def main(
     reso2: int = 512,
     n_cuvol: int = 300,
     n_surf1: int = 300,
-    n_surf2: int = 1800,
-    batch: int = 12288,
+    n_surf2: int = 2500,
+    batch: int = 8192,
 ):
     import jax
     import jax.numpy as jnp

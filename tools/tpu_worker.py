@@ -49,18 +49,18 @@ while True:
         os.rename(path, os.path.join(QDIR, "done", job))
         print("worker stopping", flush=True)
         break
-    buf = io.StringIO()
+    # stream output incrementally so long jobs can be monitored live
+    out = os.path.join(QDIR, job[:-3] + ".out")
     t0 = time.time()
     status = "OK"
-    try:
-        with redirect_stdout(buf), redirect_stderr(buf):
-            exec(compile(src, job, "exec"), NS)
-    except BaseException:
-        buf.write(traceback.format_exc())
-        status = "ERROR"
-    out = os.path.join(QDIR, job[:-3] + ".out")
-    with open(out, "w") as f:
-        f.write(f"# {status} in {time.time()-t0:.1f}s\n")
-        f.write(buf.getvalue())
+    with open(out, "w", buffering=1) as buf:
+        buf.write(f"# RUNNING {job}\n")
+        try:
+            with redirect_stdout(buf), redirect_stderr(buf):
+                exec(compile(src, job, "exec"), NS)
+        except BaseException:
+            buf.write(traceback.format_exc())
+            status = "ERROR"
+        buf.write(f"# {status} in {time.time()-t0:.1f}s\n")
     os.rename(path, os.path.join(QDIR, "done", job))
     print(f"{job}: {status} ({time.time()-t0:.1f}s)", flush=True)
