@@ -33,6 +33,7 @@ silent-wrong-gradient contract are gone).
 """
 from __future__ import annotations
 
+import functools
 from typing import Optional
 
 import jax
@@ -344,29 +345,84 @@ def _dense_field(grid: SparseGrid, rows: jnp.ndarray,
     return base.at[flat_pos].set(rows, mode="drop").reshape(X, Y, Z)
 
 
+_SLAB = 64  # x-planes per dense-loss chunk: bounds live volume temporaries
+
+
+def _slab_scan(X: int, ext: int, body, *vols):
+    """Sum ``body(slabs..., x0)`` over x-slabs of the dense volumes.
+
+    The shifted-slice formulation keeps ~20 full (X,Y,Z) f32 temporaries
+    live through the backward at once — 25 GB at 512^3. Chunking over
+    x-slabs inside a scan with a checkpointed body bounds the live set to
+    the slab size; each body sees ``_SLAB + ext`` planes (padded past the
+    end; the body masks rows >= its valid count).
+    """
+    CH = min(_SLAB, X)
+    n_chunks = -(-X // CH)
+    padded = [
+        jnp.pad(v, ((0, n_chunks * CH + ext - v.shape[0]),) + ((0, 0),) * (v.ndim - 1))
+        for v in vols
+    ]
+
+    @functools.partial(jax.checkpoint, prevent_cse=False)
+    def step(acc, i):
+        x0 = i * CH
+        slabs = [
+            jax.lax.dynamic_slice_in_dim(v, x0, CH + ext, axis=0)
+            for v in padded
+        ]
+        return acc + body(*slabs, x0), None
+
+    acc, _ = jax.lax.scan(
+        step, jnp.zeros((), vols[0].dtype if vols[0].dtype != jnp.bool_
+                        else jnp.float32),
+        jnp.arange(n_chunks),
+    )
+    return acc
+
+
 def surface_tv_loss_dense(grid: SparseGrid, row_coords: jnp.ndarray,
                           alpha_weighted: bool = False):
     """Full-lattice surface TV — every cell, matching the recipe's
     tv_surface_sparsity = 1 (surf_tv_grad_sparse over all cells). Value
     convention matches ``surface_tv_loss`` over cells = arange(links.size)
-    including its sqrt(1e-5) floor on empty cells (zero gradient)."""
+    including its sqrt(1e-5) floor on empty cells (zero gradient).
+    Computed in x-slab chunks (see _slab_scan)."""
     surf = _dense_field(grid, grid.surface_data[:, 0], row_coords)
     present = grid.links >= 0
-    ok0 = present
-    dx = jnp.where(ok0[:-1] & present[1:], surf[1:] - surf[:-1], 0.0)
-    dy = jnp.where(ok0[:, :-1] & present[:, 1:], surf[:, 1:] - surf[:, :-1], 0.0)
-    dz = jnp.where(ok0[..., :-1] & present[..., 1:], surf[..., 1:] - surf[..., :-1], 0.0)
     X, Y, Z = grid.reso
-    # pad the forward differences back to (X, Y, Z): cells at the high edge
-    # have out-of-bounds neighbors -> zero diff (the _link_at(-1) path)
-    dx = jnp.pad(dx, ((0, 1), (0, 0), (0, 0)))
-    dy = jnp.pad(dy, ((0, 0), (0, 1), (0, 0)))
-    dz = jnp.pad(dz, ((0, 0), (0, 0), (0, 1)))
-    per_cell = jnp.sqrt(1e-5 + dx * dx + dy * dy + dz * dz)
+    pres_f = present.astype(surf.dtype)
     if alpha_weighted:
-        a = _dense_field(grid, grid.density_data[:, 0], row_coords)
-        per_cell = per_cell * jax.lax.stop_gradient(jax.nn.sigmoid(a))
-    return jnp.mean(per_cell)
+        aw = jax.lax.stop_gradient(jax.nn.sigmoid(
+            _dense_field(grid, grid.density_data[:, 0], row_coords)))
+    else:
+        aw = None
+
+    def body(*args):
+        if aw is None:
+            s, p, x0 = args
+            a = None
+        else:
+            s, p, a, x0 = args
+        CH = s.shape[0] - 1
+        ok0 = p[:-1] > 0
+        # +x neighbor: the padded plane past X-1 is absent -> zero diff
+        dx = jnp.where(ok0 & (p[1:] > 0), s[1:] - s[:-1], 0.0)
+        dy = jnp.where(ok0[:, :-1] & (p[:-1, 1:] > 0),
+                       s[:-1, 1:] - s[:-1, :-1], 0.0)
+        dz = jnp.where(ok0[..., :-1][:, :, :] & (p[:-1, :, 1:] > 0),
+                       s[:-1, :, 1:] - s[:-1, :, :-1], 0.0)
+        dy = jnp.pad(dy, ((0, 0), (0, 1), (0, 0)))
+        dz = jnp.pad(dz, ((0, 0), (0, 0), (0, 1)))
+        per_cell = jnp.sqrt(1e-5 + dx * dx + dy * dy + dz * dz)
+        if a is not None:
+            per_cell = per_cell * a[:-1]
+        row_ok = (x0 + jnp.arange(CH)) < X  # mask pad rows past the lattice
+        return jnp.sum(per_cell * row_ok[:, None, None])
+
+    vols = (surf, pres_f) + (() if aw is None else (aw,))
+    total = _slab_scan(X, 1, body, *vols)
+    return total / grid.links.size
 
 
 def surface_normal_loss_dense(
@@ -379,16 +435,33 @@ def surface_normal_loss_dense(
     """Full-lattice normal-consistency regularizer — every cell, matching
     the recipe's norm_surface_sparsity = 1. Same math as
     ``surface_normal_loss``; neighborhood fetches become shifted slices of
-    the dense surface/presence volumes (zero gathers, zero scatters)."""
-    surf = _dense_field(grid, grid.surface_data[:, 0], row_coords)
-    present = grid.links >= 0
+    the dense surface/presence volumes (zero gathers, zero scatters),
+    computed in x-slab chunks (see _slab_scan — the unchunked version kept
+    ~20 full volumes live through the backward, 25 GB at 512^3)."""
+    surf_full = _dense_field(grid, grid.surface_data[:, 0], row_coords)
+    pres_full = (grid.links >= 0).astype(surf_full.dtype)
+    X, Y, Z = grid.reso
+    total = _slab_scan(
+        X, 2,
+        lambda s, p, x0: _normal_slab(grid, s, p, x0, connectivity_check,
+                                      ignore_empty, use_l1),
+        surf_full, pres_full,
+    )
+    # the sampled version averages over its cell list; the full lattice is
+    # links.size cells — cells whose 3x3x3 window leaves the grid contribute
+    # 0 there (out-of-bounds links are -1 -> skip), so pad-normalize
+    return total / grid.links.size
+
+
+def _normal_slab(grid, surf, present, x0, connectivity_check, ignore_empty,
+                 use_l1):
+    """Per-slab normal-consistency sum: ``surf``/``present`` carry CH+2
+    x-planes; cells are the CH base rows (masked past the lattice)."""
+    CH = surf.shape[0] - 2
     X, Y, Z = grid.reso
 
-    def sl(v, dx, dy, dz, ext=3):
-        """v[(dx):(dx+X-ext+1), ...] — local-offset slice over the cell
-        window (cells range over [0, X-ext]^3 base coords)."""
-        return v[dx : dx + X - ext + 1, dy : dy + Y - ext + 1,
-                 dz : dz + Z - ext + 1]
+    def sl(v, dx, dy, dz):
+        return v[dx : dx + CH, dy : dy + Y - 2, dz : dz + Z - 2]
 
     def cell_normal(bx, by, bz):
         """Corner-averaged gradient of the cell at base offset (bx,by,bz)
@@ -409,7 +482,7 @@ def surface_normal_loss_dense(
         for di in (0, 1):
             for dj in (0, 1):
                 for dk in (0, 1):
-                    s = sl(present, bx + di, by + dj, bz + dk)
+                    s = sl(present, bx + di, by + dj, bz + dk) > 0
                     m = s if m is None else m & s
         return m
 
@@ -489,10 +562,8 @@ def surface_normal_loss_dense(
     per_cell = jnp.where(
         count != 0, (dx_ + dy_ + dz_) / jnp.where(count == 0, 1.0, count), 0.0
     )
-    # the sampled version averages over its cell list; the full lattice is
-    # links.size cells — cells whose 3x3x3 window leaves the grid contribute
-    # 0 there (out-of-bounds links are -1 -> skip), so pad-normalize
-    return jnp.sum(per_cell) / grid.links.size
+    row_ok = (x0 + jnp.arange(CH)) < X - 2
+    return jnp.sum(per_cell * row_ok[:, None, None])
 
 
 def surface_norm_match_loss(grid: SparseGrid, cells: jnp.ndarray):

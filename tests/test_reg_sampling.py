@@ -196,3 +196,22 @@ def test_dense_reg_matches_full_lattice_sampling():
         for a, b in zip(gd, gs):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=1e-5, atol=1e-7)
+
+
+def test_dense_reg_slab_chunking(monkeypatch):
+    """Multi-chunk slab scan == single chunk (tiny slab forces 3+ chunks)."""
+    g = _pruned_grid(reso=13, seed=4, keep_frac=0.5)
+    rc = reg.row_coords_of(g)
+
+    def vals():
+        return (
+            float(reg.surface_tv_loss_dense(g, rc)),
+            float(reg.surface_tv_loss_dense(g, rc, alpha_weighted=True)),
+            float(reg.surface_normal_loss_dense(g, rc, True, False, True)),
+            float(reg.surface_normal_loss_dense(g, rc, False, True, False)),
+        )
+
+    ref = vals()
+    monkeypatch.setattr(reg, "_SLAB", 4)
+    chunked = vals()
+    np.testing.assert_allclose(chunked, ref, rtol=1e-5)  # f32 sum-order
