@@ -40,7 +40,7 @@ def main(
     reso2: int = 512,
     n_cuvol: int = 300,
     n_surf1: int = 300,
-    n_surf2: int = 2500,
+    n_surf2: int = 900,
     batch: int = 8192,
 ):
     import jax
@@ -107,6 +107,11 @@ def main(
         visibility_pruning_scale=0.0,  # recipe also disables it
         thresh_type="alpha",           # surface_cuda_syn.yaml
         alpha_upsample_thresh=1e-8,
+        # capacity bound at the 512^3 upsample (the reference's
+        # max_grid_elements top-k bound, svox2.py:4324): a briefly-trained
+        # alpha field barely prunes at 1e-8 — an unbounded upsample kept
+        # 32M rows (~20 GB of param+opt state)
+        max_grid_elements=6_000_000,
         init_sigma=0.1,
         # plenoxels stage (opt/configs/syn.yaml)
         lr_sigma=3e1, lr_sigma_final=5e-2, lr_sigma_delay_steps=0,
