@@ -40,11 +40,28 @@ def cubic_coeffs(s8: jnp.ndarray, u: jnp.ndarray, d: jnp.ndarray):
     :return: (f0, f1, f2, f3) each (...,) with
         f(t) = f3 t^3 + f2 t^2 + f1 t + f0
     """
-    s000, s001, s010, s011, s100, s101, s110, s111 = [
-        s8[..., i] for i in range(8)
-    ]
-    ux, uy, uz = u[..., 0], u[..., 1], u[..., 2]
-    vx, vy, vz = d[..., 0], d[..., 1], d[..., 2]
+    return _cubic_coeffs_comps(
+        [s8[..., i] for i in range(8)],
+        (u[..., 0], u[..., 1], u[..., 2]),
+        (d[..., 0], d[..., 1], d[..., 2]),
+    )
+
+
+def cubic_coeffs_T(s8T: jnp.ndarray, uT: jnp.ndarray, dT: jnp.ndarray):
+    """``cubic_coeffs`` with the corner/component axes LEADING
+    (s8T (8, ...), uT/dT (3, ...)) — the packed renderer's transposed
+    layout; avoids trailing small axes that tile-pad on TPU."""
+    return _cubic_coeffs_comps(
+        [s8T[i] for i in range(8)],
+        (uT[0], uT[1], uT[2]),
+        (dT[0], dT[1], dT[2]),
+    )
+
+
+def _cubic_coeffs_comps(s, u, d):
+    s000, s001, s010, s011, s100, s101, s110, s111 = s
+    ux, uy, uz = u
+    vx, vy, vz = d
 
     # lerp along z at the four xy corner columns (svox2.py:1987-1995)
     a00 = s000 * (1 - uz) + s001 * uz
@@ -73,8 +90,11 @@ def cubic_coeffs(s8: jnp.ndarray, u: jnp.ndarray, d: jnp.ndarray):
     return f0, f1, f2, f3
 
 
-def _cubic_roots_raw(f0, f1, f2, f3):
+def _cubic_roots_raw(f0, f1, f2, f3, axis=-1):
     """Closed-form real roots; slots without a root hold NO_ROOT.
+    ``axis`` picks where the 3-root axis goes (-1, or 0 for the packed
+    renderer's transposed layout — a trailing 3 would tile-pad to 128
+    lanes on TPU).
 
     Branch structure mirrors svox2.py:2078-2158 (which is what the CUDA
     Vieta solver implements): degenerate linear/quadratic handling with
@@ -132,10 +152,11 @@ def _cubic_roots_raw(f0, f1, f2, f3):
     )
     r1 = jnp.where(three_real, t_c1, jnp.where(has2, t_q1, 0.0))
     r2 = jnp.where(three_real, t_c2, 0.0)
-    roots = jnp.stack([r0, r1, r2], axis=-1)
+    up = (lambda a: a[..., None]) if axis == -1 else (lambda a: a[None])
+    roots = jnp.stack([r0, r1, r2], axis=axis)
     has = jnp.stack(
         [three_real | one_real | has2 | is1, three_real | has2, three_real],
-        axis=-1,
+        axis=axis,
     )
     # Newton polish: the closed-form solution loses up to ~1e-2 of the root
     # in f32 when the cubic is near-degenerate (f3 ~ 1e-6 after
@@ -147,10 +168,8 @@ def _cubic_roots_raw(f0, f1, f2, f3):
     # simple roots, so two Newton steps restore ~1e-7 accuracy; steps are
     # clamped and skipped near f' ~ 0 (multiple roots).
     for _ in range(2):
-        ft = eval_cubic(roots, f0[..., None], f1[..., None], f2[..., None],
-                        f3[..., None])
-        fp = eval_cubic_deriv(roots, f1[..., None], f2[..., None],
-                              f3[..., None])
+        ft = eval_cubic(roots, up(f0), up(f1), up(f2), up(f3))
+        fp = eval_cubic_deriv(roots, up(f1), up(f2), up(f3))
         ok = jnp.abs(fp) > 1e-6
         step = jnp.where(ok, ft / jnp.where(ok, fp, 1.0), 0.0)
         roots = roots - jnp.clip(step, -0.5, 0.5)
@@ -194,6 +213,31 @@ def _cubic_roots_jvp(primals, tangents):
         + df2[..., None] * ts * ts
         + df3[..., None] * ts * ts * ts
     )
+    dt = jnp.where(valid, -df / fp_safe, 0.0)
+    return t, dt
+
+
+@jax.custom_jvp
+def cubic_roots_T(f0, f1, f2, f3):
+    """Transposed-layout ``cubic_roots``: root axis LEADING, shape (3, ...).
+
+    The packed renderer keeps the pool axis minor (lane axis on TPU); a
+    (M, 3) root array would tile-pad 3 -> 128 lanes (43x memory). Same math
+    and the same implicit-diff JVP as ``cubic_roots``."""
+    return _cubic_roots_raw(f0, f1, f2, f3, axis=0)[0]
+
+
+@cubic_roots_T.defjvp
+def _cubic_roots_T_jvp(primals, tangents):
+    f0, f1, f2, f3 = primals
+    df0, df1, df2, df3 = tangents
+    t, valid = _cubic_roots_raw(f0, f1, f2, f3, axis=0)
+    ts = jnp.where(valid, t, 0.0)
+    fp = 3.0 * f3[None] * ts * ts + 2.0 * f2[None] * ts + f1[None]
+    fp_safe = jnp.where(
+        jnp.abs(fp) < _EPS, jnp.sign(fp) * _EPS + (fp == 0) * _EPS, fp
+    )
+    df = df0[None] + df1[None] * ts + df2[None] * ts * ts + df3[None] * ts**3
     dt = jnp.where(valid, -df / fp_safe, 0.0)
     return t, dt
 

@@ -37,6 +37,27 @@ def trilerp_weights(pos: jnp.ndarray) -> jnp.ndarray:
     )
 
 
+def trilerp_weights_T(posT: jnp.ndarray) -> jnp.ndarray:
+    """``trilerp_weights`` with the component/corner axes LEADING
+    (posT (3, ...) -> (8, ...)) — transposed-layout path; a trailing 8
+    would tile-pad to 128 lanes on TPU."""
+    x, y, z = posT[0], posT[1], posT[2]
+    ix, iy, iz = 1.0 - x, 1.0 - y, 1.0 - z
+    return jnp.stack(
+        [
+            ix * iy * iz,
+            ix * iy * z,
+            ix * y * iz,
+            ix * y * z,
+            x * iy * iz,
+            x * iy * z,
+            x * y * iz,
+            x * y * z,
+        ],
+        axis=0,
+    )
+
+
 def trilerp(vals8: jnp.ndarray, pos: jnp.ndarray) -> jnp.ndarray:
     """Interpolate corner values.
 

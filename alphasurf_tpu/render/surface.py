@@ -40,13 +40,15 @@ import jax
 import jax.numpy as jnp
 
 from .. import defs
-from ..core.grid import SparseGrid, fetch_links, gather_corner_links
+from ..core.grid import (
+    CORNER_OFFSETS, SparseGrid, fetch_links, gather_corner_links,
+)
 from ..core.options import RenderOptions
 from ..core.rays import Rays
 from ..core.sh import eval_sh_bases
 from ..ops import dda
-from ..ops.cubic import cubic_coeffs, cubic_roots
-from ..ops.trilerp import trilerp_weights
+from ..ops.cubic import cubic_coeffs, cubic_coeffs_T, cubic_roots, cubic_roots_T
+from ..ops.trilerp import trilerp_weights, trilerp_weights_T
 
 _UDF_TYPES = (
     defs.SURFACE_TYPE_UDF,
@@ -441,6 +443,332 @@ def _voxel_samples(
     if grid.surface_type in _UDF_TYPES:
         out["lv_ok"] = jnp.stack(lv_ok_list, -1)  # (B, V, n_lv)
     return out
+
+
+def trilerp_field_grad_T(vals8T, posT):
+    """``trilerp_field_grad`` with corner/component axes LEADING
+    (vals8T (8, ...broadcastable), posT (3, ...) -> (3, ...))."""
+    s000, s001, s010, s011, s100, s101, s110, s111 = [
+        vals8T[i] for i in range(8)
+    ]
+    x, y, z = posT[0], posT[1], posT[2]
+    c00 = s000 * (1 - z) + s001 * z
+    c01 = s010 * (1 - z) + s011 * z
+    c10 = s100 * (1 - z) + s101 * z
+    c11 = s110 * (1 - z) + s111 * z
+    c0 = c00 * (1 - y) + c01 * y
+    c1 = c10 * (1 - y) + c11 * y
+    gx = c1 - c0
+    gy = x * (c11 - c10) + (1 - x) * (c01 - c00)
+    gz = x * (y * (s111 - s110) + (1 - y) * (s101 - s100)) + (1 - x) * (
+        y * (s011 - s010) + (1 - y) * (s001 - s000)
+    )
+    return jnp.stack([gx, gy, gz], axis=0)
+
+
+def _voxel_samples_T(
+    grid: SparseGrid,
+    opt: RenderOptions,
+    oT,
+    dT,
+    shmT,
+    near_grid_t,
+    lT,
+    close_t,
+    far_t,
+    vox_ok,
+    packed,
+):
+    """Transposed-layout twin of ``_voxel_samples`` for the packed pool:
+    the pool axis M is MINOR everywhere (slot arrays (S, M), vectors
+    (3, S, M), corner data (8, C, M)), so every intermediate tiles cleanly
+    onto the TPU's (8, 128) layout. The original (M, 1, S, 8)-style shapes
+    put an 8-or-smaller axis in the 128-lane position — a 16-21x pad that
+    bounded the recipe pool at ~260k entries (round-4 verdict weak #3 /
+    PERF.md "Phase-B memory envelope"). Same math, same reference
+    citations as ``_voxel_samples``; V is specialized to 1 (one voxel per
+    pool entry).
+
+    :param oT/dT: (3, M) ray origin/direction per pool entry
+    :param shmT: (basis_dim, M) SH basis values
+    :param lT: (3, M) int32 voxel coords
+    :param close_t/far_t/vox_ok: (M,)
+    :return: dict of (S, M) slot arrays (t, alpha [pre-truncation],
+        contrib, fake, counted), (3, S, M) vectors (rgb, snorm, snorm_in),
+        plus vox_ok, surf8T (8, M), n_slots.
+    """
+    M = close_t.shape[0]
+    dtype = oT.dtype
+    n_lv = grid.level_set_data.shape[0]
+    n_surf_c = grid.surface_data.shape[1]
+    X, Y, Z = grid.links.shape
+    offs = CORNER_OFFSETS
+
+    idx_list = []
+    for c in range(8):
+        cx = jnp.clip(lT[0] + int(offs[c, 0]), 0, X - 1)
+        cy = jnp.clip(lT[1] + int(offs[c, 1]), 0, Y - 1)
+        cz = jnp.clip(lT[2] + int(offs[c, 2]), 0, Z - 1)
+        idx_list.append((cx * Y + cy) * Z + cz)
+    links8T = jax.lax.optimization_barrier(
+        jnp.take(grid.links.reshape(-1), jnp.stack(idx_list, 0).reshape(-1))
+    ).reshape(8, M)
+    all_present = jnp.all(links8T >= 0, axis=0)
+    vox_ok = vox_ok & all_present
+
+    # per-corner row gathers; each (M, C8) gather result is transposed to
+    # (C8, M) immediately (the flat-corner-row layout: 8 x C8 x M, zero pad)
+    cap = packed.shape[0]
+    v8T_parts = []
+    for c in range(8):
+        lk = links8T[c]
+        rows = jax.lax.optimization_barrier(
+            jnp.take(packed, jnp.clip(lk, 0, cap - 1), axis=0)
+        )
+        v8T_parts.append(rows.T * (lk >= 0)[None, :].astype(dtype))
+    v8T = jnp.stack(v8T_parts, axis=0)  # (8, C8, M)
+    alpha8T = v8T[:, 0, :]  # (8, M)
+    if grid.surface_type != defs.SURFACE_TYPE_UDF_ALPHA:
+        vox_ok = vox_ok & jnp.any(alpha8T >= opt.sigma_thresh, axis=0)
+
+    surf8T = v8T[:, 1, :]  # (8, M)
+    if grid.surface_type in _UDF_TYPES:
+        surf8T = jax.nn.softplus(surf8T)
+
+    fs_std = (
+        grid.fake_sample_std[0, 0]
+        if grid.fake_sample_std is not None
+        else jnp.asarray(1.0, dtype)
+    )
+
+    # corner colors: c_k = sum_b sh8[k, ch*bd+b] * sh_mult[b] — explicit
+    # multiply-accumulate over the 3*bd channel slices (VPU; see the
+    # corner_rgb layout note in _voxel_samples)
+    bd = grid.basis_dim
+    sh_base = 1 + n_surf_c
+    corner_rgbT = []  # per channel: (8, M)
+    for ch in range(3):
+        acc_rgb = None
+        for b in range(bd):
+            term = v8T[:, sh_base + ch * bd + b, :] * shmT[b][None, :]
+            acc_rgb = term if acc_rgb is None else acc_rgb + term
+        corner_rgbT.append(acc_rgb)
+
+    if grid.surface_type == defs.SURFACE_TYPE_VOXEL_FACE:
+        # see the VOXEL_FACE notes in _voxel_samples (svox2.py:1670-1745)
+        epos = oT + close_t[None, :] * dT  # (3, M) grid coords
+        gszT = jnp.asarray(grid.reso, dtype)[:, None]
+        inside = jnp.all(epos >= 1e-6, 0) & jnp.all(
+            epos <= gszT - 1.0 - 1e-6, 0
+        )
+        efrac = epos - lT.astype(dtype)
+        efrac = jnp.clip(jnp.where(vox_ok[None, :], efrac, 0.5), 0.0, 1.0)
+        ew8 = trilerp_weights_T(efrac)  # (8, M)
+        ergb = jnp.stack(
+            [
+                jnp.clip(jnp.sum(ew8 * corner_rgbT[ch], axis=0) + 0.5, min=0.0)
+                for ch in range(3)
+            ],
+            axis=0,
+        )  # (3, M)
+        ealpha = jax.nn.sigmoid(alpha8T[0])
+        contrib = vox_ok & inside & (close_t >= near_grid_t)
+        return {
+            "t": close_t[None, :],
+            "alpha": ealpha[None, :],
+            "rgb": ergb[:, None, :],
+            "contrib": contrib[None, :],
+            "fake": jnp.zeros((1, M), bool),
+            "snorm": jnp.zeros((3, 1, M), dtype),
+            "snorm_in": jnp.zeros((3, 1, M), dtype),
+            "counted": contrib[None, :].astype(jnp.int32),
+            "vox_ok": vox_ok,
+            "surf8T": surf8T,
+            "n_slots": 1,
+        }
+
+    # ---- real intersections ----
+    if grid.surface_type == defs.SURFACE_TYPE_PLANE:
+        # see the PLANE notes in _voxel_samples (svox2.py:2254-2288)
+        plane = jnp.mean(v8T[:, 1:5, :], axis=0)  # (4, M)
+        abc = plane[:3]  # (3, M)
+        xyz_term = jnp.sum((lT.astype(dtype) + 0.5) * abc, axis=0)
+        th = 0.3
+        dpl = jnp.clip(plane[3], -th - xyz_term, th - xyz_term)
+        denom = jnp.sum(abc * dT, axis=0)
+        denom = jnp.where(jnp.abs(denom) < 1e-12, 1e-12, denom)
+        t_pl = -(jnp.sum(abc * oT, axis=0) + dpl) / denom  # (M,)
+        roots = (t_pl - close_t)[None, :]  # (1, M)
+        lv_ok_s = vox_ok[None, :] & (t_pl[None, :] > 0)
+        vox_has_surf = vox_ok
+        root_pos = roots > -1e-6
+        plane_grad = abc
+        lv_ok_list = None
+    else:
+        smin = jnp.min(surf8T, axis=0)
+        smax = jnp.max(surf8T, axis=0)
+        f0, f1, f2, f3 = cubic_coeffs_T(
+            surf8T, oT + close_t[None, :] * dT - lT.astype(dtype), dT
+        )
+        root_chunks, lv_ok_list = [], []
+        for i in range(n_lv):
+            lv = grid.level_set_data[i]
+            lv_ok = vox_ok & (lv >= smin) & (lv <= smax)  # (M,)
+            lv_ok_list.append(lv_ok)
+            root_chunks.append(cubic_roots_T(f0 - lv, f1, f2, f3))  # (3, M)
+        roots = jnp.concatenate(root_chunks, axis=0)  # (S0, M)
+        lv_ok_s = jnp.concatenate(
+            [jnp.broadcast_to(g[None, :], (3, M)) for g in lv_ok_list], axis=0
+        )
+        vox_has_surf = jnp.any(jnp.stack(lv_ok_list, 0), 0)
+        root_pos = roots > 0
+        plane_grad = None
+
+    t_real = close_t[None, :] + roots  # (S0, M)
+    frac = (
+        oT[:, None, :] + t_real[None, :, :] * dT[:, None, :]
+        - lT[:, None, :].astype(dtype)
+    )  # (3, S0, M)
+    in_cube = jnp.all(frac >= 0, 0) & jnp.all(frac <= 1, 0)
+    geo_ok = lv_ok_s & root_pos & in_cube & (t_real >= near_grid_t)
+    vox_has_sample = jnp.any(geo_ok, axis=0)  # (M,)
+    frac_safe = jnp.clip(jnp.where(geo_ok[None, :, :], frac, 0.5), 0.0, 1.0)
+    if plane_grad is not None:
+        sgrad = jnp.broadcast_to(plane_grad[:, None, :], frac_safe.shape)
+    else:
+        sgrad = trilerp_field_grad_T(surf8T[:, None, :], frac_safe)
+    if opt.only_outward_intersect:
+        geo_ok = geo_ok & (jnp.sum(sgrad * dT[:, None, :], axis=0) > 0)
+    nsq = jnp.sum(sgrad * sgrad, axis=0, keepdims=True)
+    snorm_s = -sgrad / jnp.sqrt(jnp.where(nsq > 1e-20, nsq, 1e-20))
+
+    w8 = trilerp_weights_T(frac_safe)  # (8, S0, M)
+    raw_a = jnp.sum(w8 * alpha8T[:, None, :], axis=0)  # (S0, M)
+    if grid.surface_type == defs.SURFACE_TYPE_UDF_ALPHA:
+        lv_alpha = grid.density_data[:, 0]  # (n_lv,)
+        raw_a = jnp.broadcast_to(
+            jnp.repeat(lv_alpha, 3)[:, None], raw_a.shape
+        )
+    if opt.no_surf_grad_from_sh:
+        w8_sh = trilerp_weights_T(jax.lax.stop_gradient(frac_safe))
+    else:
+        w8_sh = w8
+    rgb_s = jnp.stack(
+        [
+            jnp.clip(
+                jnp.sum(w8_sh * corner_rgbT[ch][:, None, :], axis=0) + 0.5,
+                min=0.0,
+            )
+            for ch in range(3)
+        ],
+        axis=0,
+    )  # (3, S0, M)
+    contrib = geo_ok & (raw_a > opt.sigma_thresh)
+    alpha_s = surf_alpha_act(raw_a, opt.alpha_activation_type)
+    t_s = t_real
+    fake_s = jnp.zeros(contrib.shape, bool)
+    counted = geo_ok
+    snorm_in = snorm_s
+
+    if opt.surf_fake_sample and grid.surface_type != defs.SURFACE_TYPE_PLANE:
+        # fake sample (surf_trav.cu:423-541); see _voxel_samples notes
+        take = vox_ok & ~vox_has_sample & (
+            (far_t - close_t) > opt.surf_fake_sample_min_vox_len
+        )
+        if opt.limited_fake_sample:
+            take = take & vox_has_surf
+        tf = 0.5 * (close_t + far_t)  # (M,)
+        ffrac = oT + tf[None, :] * dT - lT.astype(dtype)  # (3, M)
+        ffrac = jnp.clip(jnp.where(take[None, :], ffrac, 0.5), 0.0, 1.0)
+        fw8 = trilerp_weights_T(ffrac)  # (8, M)
+        fraw = jnp.sum(fw8 * alpha8T, axis=0)
+        frgb = jnp.stack(
+            [
+                jnp.clip(jnp.sum(fw8 * corner_rgbT[ch], axis=0) + 0.5, min=0.0)
+                for ch in range(3)
+            ],
+            axis=0,
+        )  # (3, M)
+        mu = jnp.mean(surf8T, axis=0)
+        var = jnp.mean((surf8T - mu[None, :]) ** 2, axis=0)
+        std = jnp.sqrt(jnp.clip(var, min=1e-9))
+        if not opt.fake_sample_normalize_surf:
+            std = jnp.ones_like(std)
+        s_norm = jnp.sum(fw8 * (surf8T / std[None, :]), axis=0)
+        dists = s_norm[None, :] - grid.level_set_data[:, None]  # (n_lv, M)
+        amin = jnp.argmin(jnp.abs(dists), axis=0)  # (M,)
+        fake_dist = jnp.take_along_axis(dists, amin[None, :], axis=0)[0]
+        if grid.surface_type == defs.SURFACE_TYPE_UDF_ALPHA:
+            fraw = jnp.take(grid.density_data[:, 0], amin)
+        take = take & (fraw > opt.sigma_thresh)
+        falpha = surf_alpha_act(fraw, opt.alpha_activation_type)
+        falpha = falpha * jnp.exp(-0.5 * (fake_dist / fs_std) ** 2)
+        t_s = jnp.concatenate([t_s, tf[None, :]], axis=0)
+        alpha_s = jnp.concatenate([alpha_s, falpha[None, :]], axis=0)
+        rgb_s = jnp.concatenate([rgb_s, frgb[:, None, :]], axis=1)
+        contrib = jnp.concatenate([contrib, take[None, :]], axis=0)
+        fake_s = jnp.concatenate([fake_s, jnp.ones((1, M), bool)], axis=0)
+        fgrad = trilerp_field_grad_T(surf8T, ffrac)  # (3, M)
+        fnsq = jnp.sum(fgrad * fgrad, axis=0, keepdims=True)
+        fsnorm = -fgrad / jnp.sqrt(jnp.where(fnsq > 1e-20, fnsq, 1e-20))
+        snorm_in = jnp.concatenate([snorm_s, fsnorm[:, None, :]], axis=1)
+        snorm_s = jnp.concatenate(
+            [snorm_s, jnp.zeros((3, 1, M), dtype)], axis=1
+        )
+        counted = jnp.concatenate([counted, jnp.zeros((1, M), bool)], axis=0)
+
+    out = {
+        "t": t_s,
+        "alpha": alpha_s,  # PRE-truncation
+        "rgb": rgb_s,
+        "contrib": contrib,
+        "fake": fake_s,
+        "snorm": snorm_s,
+        "snorm_in": snorm_in,
+        "counted": counted.astype(jnp.int32),
+        "vox_ok": vox_ok,
+        "surf8T": surf8T,
+        "n_slots": contrib.shape[0],
+    }
+    if grid.surface_type in _UDF_TYPES:
+        out["lv_ok"] = jnp.stack(lv_ok_list, 0)  # (n_lv, M)
+    return out
+
+
+def _accumulate_sample_losses_T(grid, opt, acc, dT, smp, dtype):
+    """Transposed twin of ``_accumulate_sample_losses``: slot arrays are
+    (S, M), vectors (3, S, M); reductions run over the slot axis 0 and
+    produce (M,) per-entry sums."""
+    contrib = smp["contrib"]
+    alpha_pre = smp["alpha"]
+    in_dot = jnp.sum(
+        jax.lax.stop_gradient(smp["snorm_in"]) * dT[:, None, :], axis=0
+    )
+    acc["l_inward"] = acc["l_inward"] + jnp.sum(
+        jnp.where(contrib, alpha_pre * jnp.maximum(in_dot, 0.0) ** 2, 0.0), 0
+    )
+    p_lap = jnp.exp(-alpha_pre) + jnp.exp(-(1.0 - alpha_pre))
+    acc["lap_sum"] = acc["lap_sum"] + jnp.sum(
+        jnp.where(contrib, -jnp.log(p_lap), 0.0), 0
+    )
+    acc["lap_cnt"] = acc["lap_cnt"] + jnp.sum(contrib, 0).astype(dtype)
+    if grid.surface_type in _UDF_TYPES:
+        n_lv = grid.level_set_data.shape[0]
+        vox_ok = smp["vox_ok"]
+        surf8T = smp["surf8T"]
+        if opt.surf_fake_sample and not opt.limited_fake_sample:
+            n_lv_hull = jnp.where(vox_ok, float(n_lv), 0.0).astype(dtype)
+        else:
+            n_lv_hull = jnp.sum(smp["lv_ok"].astype(dtype), 0)
+            if grid.surface_type == defs.SURFACE_TYPE_UDF_FAKE_SAMPLE:
+                n_lv_hull = jnp.maximum(n_lv_hull, 1.0)
+        mu_v = jnp.mean(surf8T, axis=0)
+        var_v = jnp.sum((surf8T - mu_v[None, :]) ** 2, axis=0) / 7.0
+        acc["udf_var_sum"] = acc["udf_var_sum"] + jnp.where(
+            vox_ok, jnp.maximum(n_lv_hull - 1.0, 0.0) * var_v, 0.0
+        )
+        acc["udf_var_cnt"] = acc["udf_var_cnt"] + vox_ok.astype(dtype)
+    return acc
 
 
 def _accumulate_sample_losses(grid, opt, acc, dirs_s, smp, dtype):
@@ -1428,19 +1756,24 @@ def volume_render_surface_packed(
     seg_id = ray_id  # segment index (invalid -> B, dropped)
 
     packed = pack_grid_data(grid)
-    o_e = jnp.take(origins, rid, axis=0)
-    d_e = jnp.take(dirs, rid, axis=0)
-    shm_e = jnp.take(sh_mult, rid, axis=0)
+    # transposed layout throughout phase B: the pool axis M is MINOR (TPU
+    # lane axis) in every intermediate — slot arrays (S0, M), vectors
+    # (3, S0, M) — so nothing tile-pads (the old (M, S0)/(M, 1, S, 8)
+    # shapes padded their small trailing axis to 128 lanes, a 16-21x
+    # memory/bandwidth hit that bounded the pool at ~260k entries)
+    oT = jnp.take(origins, rid, axis=0).T    # (3, M)
+    dT = jnp.take(dirs, rid, axis=0).T
+    shmT = jnp.take(sh_mult, rid, axis=0).T  # (basis_dim, M)
+    lT = l.T                                 # (3, M)
 
-    smp = _voxel_samples(
-        grid, opt, o_e, d_e, shm_e, near_grid_t,
-        l[:, None, :], close_t[:, None], far_t[:, None], valid[:, None],
+    smp = _voxel_samples_T(
+        grid, opt, oT, dT, shmT, near_grid_t, lT, close_t, far_t, valid,
         packed,
     )
     S0 = smp["n_slots"]
-    t_s = smp["t"]          # (M, S0)
+    t_s = smp["t"]          # (S0, M)
     alpha_s = smp["alpha"]
-    rgb_s = smp["rgb"]
+    rgb_s = smp["rgb"]      # (3, S0, M)
     contrib = smp["contrib"]
     fake_s = smp["fake"]
     snorm_s = smp["snorm"]
@@ -1454,13 +1787,16 @@ def volume_render_surface_packed(
     )
 
     def ray_excl_prefix(x):
-        """Per-ray exclusive prefix along the (entry, slot) order of a
-        (M, S0) slot array; returns (M, S0) prefixes and (B,) ray sums."""
-        flat = x.reshape(-1)
-        cum = jnp.cumsum(flat).reshape(M, S0)
-        per_ray = seg_sum(jnp.sum(x, axis=1), seg_id)
-        base = jnp.cumsum(per_ray) - per_ray  # entries are ray-major
-        return cum - x - jnp.take(base, rid)[:, None], per_ray
+        """Per-ray exclusive prefix in (entry, slot) order of an (S0, M)
+        slot array; returns (S0, M) prefixes and (B,) ray sums. Entries are
+        ray-major sorted, so the global order is: slots of entries < m,
+        then slots < s of entry m."""
+        within = jnp.cumsum(x, axis=0) - x          # exclusive within entry
+        e = jnp.sum(x, axis=0)                      # (M,) entry totals
+        cum_e = jnp.cumsum(e) - e                   # exclusive over entries
+        per_ray = seg_sum(e, seg_id)
+        base = jnp.cumsum(per_ray) - per_ray
+        return within + (cum_e - jnp.take(base, rid))[None, :], per_ray
 
     # running intersection index (kernel's ++intersect_i)
     exc_cnt, cnt = ray_excl_prefix(counted_i)
@@ -1480,13 +1816,13 @@ def volume_render_surface_packed(
         1.0,
     )
     if opt.stop_thresh > 0:
-        la_e = jnp.sum(jnp.log(one_m0), axis=1)  # (M,) per-entry attenuation
+        la_e = jnp.sum(jnp.log(one_m0), axis=0)  # (M,) per-entry attenuation
         cum_e = jnp.cumsum(la_e)
         per_ray_e = seg_sum(la_e, seg_id)
         base_e = jnp.cumsum(per_ray_e) - per_ray_e
         entry_pre = cum_e - la_e - jnp.take(base_e, rid)
         alive = entry_pre > math.log(opt.stop_thresh)
-        contrib = contrib & alive[:, None]
+        contrib = contrib & alive[None, :]
 
     # composite
     alpha_c = jnp.where(contrib, alpha_trunc, 0.0)
@@ -1501,17 +1837,21 @@ def volume_render_surface_packed(
         contrib, jnp.exp(jnp.minimum(pre_att, 0.0)) * (1.0 - one_m), 0.0
     )
 
-    rgb_acc = seg_sum(jnp.sum(weight_s[..., None] * rgb_s, axis=1), seg_id)
-    depth_acc = seg_sum(jnp.sum(weight_s * t_s, axis=1), seg_id)
-    normal_acc = seg_sum(
-        jnp.sum(weight_s[..., None] * snorm_s, axis=1), seg_id
+    rgb_acc = jnp.stack(
+        [seg_sum(jnp.sum(weight_s * rgb_s[ch], axis=0), seg_id)
+         for ch in range(3)], axis=-1,
+    )  # (B, 3)
+    depth_acc = seg_sum(jnp.sum(weight_s * t_s, axis=0), seg_id)
+    normal_acc = jnp.stack(
+        [seg_sum(jnp.sum(weight_s * snorm_s[ch], axis=0), seg_id)
+         for ch in range(3)], axis=-1,
     )
 
     # mode depth: t of the per-ray max-weight sample
-    w_best_e = jnp.max(weight_s, axis=1)
+    w_best_e = jnp.max(weight_s, axis=0)
     t_best_e = jnp.take_along_axis(
-        t_s, jnp.argmax(weight_s, axis=1)[:, None], 1
-    )[:, 0]
+        t_s, jnp.argmax(weight_s, axis=0)[None, :], 0
+    )[0]
     wmax = seg_max(w_best_e, seg_id)
     wmax = jnp.maximum(wmax, 0.0)
     is_best = (w_best_e >= jnp.take(wmax, rid)) & (w_best_e > 0)
@@ -1528,10 +1868,10 @@ def volume_render_surface_packed(
     preW, totW = ray_excl_prefix(weight_s)
     med_hit = (
         contrib
-        & ((preW + weight_s) >= 0.5 * jnp.take(totW, rid)[:, None])
-        & (jnp.take(totW, rid)[:, None] > 1e-12)
+        & ((preW + weight_s) >= 0.5 * jnp.take(totW, rid)[None, :])
+        & (jnp.take(totW, rid)[None, :] > 1e-12)
     )
-    t_med = seg_min(jnp.min(jnp.where(med_hit, t_s, INF), axis=1), seg_id)
+    t_med = seg_min(jnp.min(jnp.where(med_hit, t_s, INF), axis=0), seg_id)
     t_med = jnp.where(jnp.isfinite(t_med), t_med, 0.0)
 
     # sigma-thresh depth: first REAL intersection whose activated alpha
@@ -1540,7 +1880,7 @@ def volume_render_surface_packed(
     if depth_sigma_thresh is not None:
         st_hit = contrib & ~fake_s & (alpha_s > depth_sigma_thresh)
         t_sig = seg_min(
-            jnp.min(jnp.where(st_hit, t_s, INF), axis=1), seg_id
+            jnp.min(jnp.where(st_hit, t_s, INF), axis=0), seg_id
         )
         t_sig = jnp.where(jnp.isfinite(t_sig), t_sig, 0.0)
 
@@ -1557,18 +1897,18 @@ def volume_render_surface_packed(
     preAw, A_w = ray_excl_prefix(w_i)
     preSw, S_w = ray_excl_prefix(w_i * t_s)
     acc["l_dist_a"] = seg_sum(
-        jnp.sum(a_i * (t_s * preA - preS), axis=1), seg_id
+        jnp.sum(a_i * (t_s * preA - preS), axis=0), seg_id
     )
     acc["l_dist"] = seg_sum(
-        jnp.sum(w_i * (t_s * preAw - preSw), axis=1), seg_id
+        jnp.sum(w_i * (t_s * preAw - preSw), axis=0), seg_id
     )
     acc["A_a"], acc["S_a"], acc["A_w"], acc["S_w"] = A_a, S_a, A_w, S_w
     acc["l_entropy"] = seg_sum(
-        jnp.sum(jnp.where(w_i > 0, -w_i * jnp.log(jnp.clip(w_i, min=1e-8)), 0.0), 1),
+        jnp.sum(jnp.where(w_i > 0, -w_i * jnp.log(jnp.clip(w_i, min=1e-8)), 0.0), 0),
         seg_id,
     )
     acc["l_entropy_a"] = seg_sum(
-        jnp.sum(jnp.where(a_i > 0, -a_i * jnp.log(jnp.clip(a_i, min=1e-8)), 0.0), 1),
+        jnp.sum(jnp.where(a_i > 0, -a_i * jnp.log(jnp.clip(a_i, min=1e-8)), 0.0), 0),
         seg_id,
     )
     logsig = jnp.where(
@@ -1577,17 +1917,16 @@ def volume_render_surface_packed(
         0.0,
     )
     w_sg = jax.lax.stop_gradient(jnp.where(contrib, weight_s, 0.0))
-    acc["sp_logsig"] = seg_sum(jnp.sum(logsig, 1), seg_id)
-    acc["sp_logsig_w"] = seg_sum(jnp.sum(logsig * w_sg, 1), seg_id)
-    acc["sp_w"] = seg_sum(jnp.sum(w_sg, 1), seg_id)
+    acc["sp_logsig"] = seg_sum(jnp.sum(logsig, 0), seg_id)
+    acc["sp_logsig_w"] = seg_sum(jnp.sum(logsig * w_sg, 0), seg_id)
+    acc["sp_w"] = seg_sum(jnp.sum(w_sg, 0), seg_id)
 
     # inward / lap / udf accumulators: per-entry sums then segment-reduce
     acc_e = {
         k: jnp.zeros(M, dtype)
         for k in ("l_inward", "lap_sum", "lap_cnt", "udf_var_sum", "udf_var_cnt")
     }
-    acc_e = _accumulate_sample_losses(grid, opt, acc_e, d_e[:, None, :],
-                                      smp, dtype)
+    acc_e = _accumulate_sample_losses_T(grid, opt, acc_e, dT, smp, dtype)
     for k in ("l_inward", "lap_sum", "lap_cnt", "udf_var_sum", "udf_var_cnt"):
         acc[k] = seg_sum(acc_e[k], seg_id)
 
@@ -1598,7 +1937,7 @@ def volume_render_surface_packed(
         idx = idxf.astype(jnp.int32)
         ok = contrib & (idx < K)
         colr = jnp.where(ok, idx, K)
-        rows = jnp.broadcast_to(seg_id[:, None], (M, S0))
+        rows = jnp.broadcast_to(seg_id[None, :], (S0, M))
         rows = jnp.where(ok, rows, B)
 
         def scat(buf, vals):
@@ -1610,7 +1949,7 @@ def volume_render_surface_packed(
         fake_f = scat(jnp.zeros((B, K), dtype), fake_s.astype(dtype))
         acc["c_fake"] = acc["c_fake"] | (fake_f > 0)
         acc["n_cached"] = jnp.minimum(
-            seg_sum(jnp.sum(contrib_i2, axis=1), seg_id), K
+            seg_sum(jnp.sum(contrib_i2, axis=0), seg_id), K
         ).astype(jnp.int32)
 
     state = {
@@ -1638,13 +1977,18 @@ def volume_render_surface_packed(
     if return_intersections:
         # real-intersection point cloud in world coords, the 'intersections'
         # / 'intersect_alphas' output of the oracle (svox2.py:2746-2761)
-        # consumed by the camera-trajectory extractor (exract_points.py)
-        pts_grid = o_e[:, None, :] + t_s[..., None] * d_e[:, None, :]
+        # consumed by the camera-trajectory extractor (exract_points.py);
+        # (S0, M) -> (M, S0) flattening keeps the original entry-major order
+        pts_grid = (
+            oT[:, None, :] + t_s[None, :, :] * dT[:, None, :]
+        )  # (3, S0, M)
         out["intersections"] = {
-            "pts": grid.grid2world(pts_grid.reshape(-1, 3)),
-            "alpha": alpha_s.reshape(-1),
-            "weight": weight_s.reshape(-1),
-            "mask": (contrib & ~fake_s).reshape(-1),
+            "pts": grid.grid2world(
+                jnp.transpose(pts_grid, (2, 1, 0)).reshape(-1, 3)
+            ),
+            "alpha": alpha_s.T.reshape(-1),
+            "weight": weight_s.T.reshape(-1),
+            "mask": (contrib & ~fake_s).T.reshape(-1),
         }
     return out
 

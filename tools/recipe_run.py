@@ -42,6 +42,7 @@ def main(
     n_surf1: int = 300,
     n_surf2: int = 900,
     batch: int = 8192,
+    n_stages: int = 3,
 ):
     import jax
     import jax.numpy as jnp
@@ -81,8 +82,11 @@ def main(
           f"({n_images}x{width}x{width} train rays on device)", flush=True)
 
     assert n_surf1 == n_cuvol, "upsamples fire at k*upsamp_every = k*n_cuvol"
-    n_total = n_cuvol + n_surf1 + n_surf2
-    assert n_total < 3 * n_cuvol + 1 or True
+    # n_stages < 3 truncates the pipeline (e.g. 2 = stop at the end of the
+    # 256^3 surface stage, saving that checkpoint for transition debugging)
+    reso_list = [[reso0] * 3, [reso1] * 3, [reso2] * 3][:n_stages]
+    stage_iters = [n_cuvol, n_surf1, n_surf2][:n_stages]
+    n_total = sum(stage_iters)
     ns = n_surf1 + n_surf2  # surface-stage length (reference: 50000)
     cfg = Config(
         train_dir=os.path.join(out_dir, "ckpt"),
@@ -92,7 +96,7 @@ def main(
         # so the warm start runs at 64^3 and the DENSITY grid is
         # upsampled to reso1 just before surface conversion; deviation
         # from the reference's 256^3 plenoxels run)
-        reso=[[reso0] * 3, [reso1] * 3, [reso2] * 3],
+        reso=reso_list,
         surface_type="sdf",
         batch_size=batch,
         n_iters=n_total,
@@ -172,9 +176,9 @@ def main(
         "psnr": psnr,
         "wall_s": round(wall, 1),
         "rays_per_s_avg": round(rays_per_s, 1),
-        "stages": [n_cuvol, n_surf1, n_surf2],
+        "stages": stage_iters,
         "batch": batch,
-        "reso": [reso0, reso1, reso2],
+        "reso": [r[0] for r in reso_list],
         "capacity_final": int(tr.grid.capacity),
         "forced_steps": tr.n_forced_steps,
     }
