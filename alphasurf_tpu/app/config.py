@@ -212,6 +212,12 @@ class Config:
     max_grid_elements: int = 44_000_000
     upsample_density_add: float = 0.0
     surf_non_expand: bool = False
+    # keep the level-set crossing band in surface upsamples (TPU-side
+    # addition, not a reference flag: the reference's alpha-threshold mask
+    # assumes the alpha support and surface contours are aligned — true
+    # only late in its 50k-iter schedule; without this, short schedules
+    # lose the crossing shell at the 512^3 transition)
+    upsample_keep_lv_band: bool = True
     tv_early_only: int = 1
     tv_decay: float = 1.0
 

@@ -374,13 +374,19 @@ def resample_surface(
     alpha_empty_val: float = -20.0,
     non_expanding: bool = False,
     sigmoid_alpha: bool = False,
+    keep_lv_band: bool = False,
 ) -> SparseGrid:
     """Resample+sparsify a surface grid (svox2.py:4172-4418). Thresholds by
     raw alpha (sigmoid thresholds converted via logit, :4324-4326), or by
     max camera ray weight; ``non_expanding`` drops new vertices whose
     interpolation touched any previously-empty vertex (NaN default surf,
     :4357-4383); ``max_elements`` bounds capacity via top-k.
-    Large grids dispatch to the device implementation."""
+    ``keep_lv_band`` additionally keeps the corners of voxels whose
+    trilerped-surface hull straddles a level set — the alpha-threshold
+    rule alone amputates the crossing shell when the alpha support and the
+    surface contours have drifted apart (under-converged grids; see
+    topology_device._lv_band_mask_j). Large grids dispatch to the device
+    implementation."""
     if isinstance(new_reso, int):
         new_reso = (new_reso,) * 3
     new_reso = tuple(int(r) for r in new_reso)
@@ -393,6 +399,7 @@ def resample_surface(
             weight_render_stop_thresh=weight_render_stop_thresh,
             max_elements=max_elements, alpha_empty_val=alpha_empty_val,
             non_expanding=non_expanding, sigmoid_alpha=sigmoid_alpha,
+            keep_lv_band=keep_lv_band,
         )
     curr_reso = _np(grid.links).shape
     pts = _new_lattice_points(curr_reso, new_reso, centered=False)
@@ -417,6 +424,33 @@ def resample_surface(
         mask = vals_density >= alpha_thresh
 
     mask = _dilate(mask, dilate)
+    if keep_lv_band and grid.level_set_data is not None:
+        surf_for_band = _dense_field(grid, grid.surface_data, fill=-1.0)
+        band_surf = _trilerp_dense(surf_for_band, pts)[:, 0].reshape(new_reso)
+        smin = band_surf
+        smax = band_surf
+        for dx in (0, 1):
+            for dy in (0, 1):
+                for dz in (0, 1):
+                    s = band_surf[dx:new_reso[0] - 1 + dx,
+                                  dy:new_reso[1] - 1 + dy,
+                                  dz:new_reso[2] - 1 + dz]
+                    if (dx, dy, dz) == (0, 0, 0):
+                        smin, smax = s.copy(), s.copy()
+                    else:
+                        np.minimum(smin, s, out=smin)
+                        np.maximum(smax, s, out=smax)
+        straddle = np.zeros(smin.shape, bool)
+        for lv in _np(grid.level_set_data):
+            straddle |= (lv >= smin) & (lv <= smax)
+        band = np.zeros(new_reso, bool)
+        for dx in (0, 1):
+            for dy in (0, 1):
+                for dz in (0, 1):
+                    band[dx:new_reso[0] - 1 + dx,
+                         dy:new_reso[1] - 1 + dy,
+                         dz:new_reso[2] - 1 + dz] |= straddle
+        mask = mask | band
     flat = mask.reshape(-1)
 
     sh_dense = _dense_field(grid, grid.sh_data)
@@ -458,6 +492,7 @@ def upsample(
     max_elements: int = 0,
     non_expanding: bool = False,
     sigmoid_alpha: bool = False,
+    keep_lv_band: bool = False,
 ) -> SparseGrid:
     """Upsample dispatch used by the trainer: resample_surface for surface
     grids, resample for density grids (opt.py:1256-1272)."""
@@ -466,7 +501,7 @@ def upsample(
             grid, new_reso, alpha_thresh=alpha_upsample_thresh,
             weight_thresh=weight_thresh, dilate=dilate, cameras=cameras,
             max_elements=max_elements, non_expanding=non_expanding,
-            sigmoid_alpha=sigmoid_alpha,
+            sigmoid_alpha=sigmoid_alpha, keep_lv_band=keep_lv_band,
         )
     return resample(
         grid, new_reso, sigma_thresh=alpha_upsample_thresh,

@@ -119,6 +119,42 @@ def _mask_pass_j(crit, thresh, dilate):
     return mask, jnp.sum(mask.astype(jnp.int32))
 
 
+@jax.jit
+def _lv_band_mask_j(surf_new, level_sets):
+    """Vertex mask of the level-set crossing band: the 8 corners of every
+    voxel whose trilerped-surface corner hull straddles some level set.
+
+    The reference's alpha-threshold keep rule assumes the alpha support and
+    the surface contours stay aligned (true after its 50k-iter schedule);
+    at shorter schedules they drift apart and the alpha mask amputates the
+    crossing shell — the round-4 512^3 collapse (occ 0.28 -> 0.0002 at the
+    transition). ORing this band in preserves every renderable crossing.
+    """
+    def corners(v, fn):
+        out = None
+        for dx in (0, 1):
+            for dy in (0, 1):
+                for dz in (0, 1):
+                    s = v[dx : v.shape[0] - 1 + dx,
+                          dy : v.shape[1] - 1 + dy,
+                          dz : v.shape[2] - 1 + dz]
+                    out = s if out is None else fn(out, s)
+        return out
+
+    smin = corners(surf_new, jnp.minimum)
+    smax = corners(surf_new, jnp.maximum)
+    straddle = jnp.zeros(smin.shape, bool)
+    for i in range(level_sets.shape[0]):
+        lv = level_sets[i]
+        straddle = straddle | ((lv >= smin) & (lv <= smax))
+    # voxel mask -> corner-vertex mask: max-pool with a 2^3 window whose
+    # padding places vertex (i,j,k) over voxels (i-1..i, ...)
+    return jax.lax.reduce_window(
+        straddle.astype(jnp.float32), jnp.float32(0.0), jax.lax.max,
+        (2, 2, 2), (1, 1, 1), [(1, 1), (1, 1), (1, 1)],
+    ) > 0.0
+
+
 @functools.partial(jax.jit, static_argnames=("n",))
 def _links_pass_j(mask, n):
     flat = mask.reshape(-1)
@@ -368,9 +404,11 @@ def resample_surface_device(
     alpha_empty_val: float = -20.0,
     non_expanding: bool = False,
     sigmoid_alpha: bool = False,
+    keep_lv_band: bool = False,
 ) -> SparseGrid:
     """Device-side ``topology.resample_surface`` (surface grids, vertex
-    lattice — svox2.py:4172-4418)."""
+    lattice — svox2.py:4172-4418). ``keep_lv_band`` additionally keeps the
+    corners of level-set-straddling voxels (see _lv_band_mask_j)."""
     if isinstance(new_reso, int):
         new_reso = (new_reso,) * 3
     new_reso = tuple(int(r) for r in new_reso)
@@ -399,6 +437,13 @@ def resample_surface_device(
             at = float(np.log(at / (1.0 - at)))
         thresh = _kth_largest_thresh(crit.reshape(-1), max_elements, at)
     mask, count = _mask_pass_j(crit, thresh, int(dilate))
+    if keep_lv_band and grid.level_set_data is not None:
+        surf_new = _resize_channel_j(
+            grid.links, fpos, grid.surface_data[:, 0], new_reso, -1.0,
+            mx, my, mz,
+        )
+        mask = mask | _lv_band_mask_j(surf_new, grid.level_set_data)
+        count = jnp.sum(mask.astype(jnp.int32))
     n = int(count)
     links_new, kept = _links_pass_j(mask, n)
 

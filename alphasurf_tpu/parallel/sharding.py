@@ -66,8 +66,7 @@ def make_sharded_surface_step(cfg, mesh: Mesh, axis: str = "data",
             rayspec, spec_of(hp, repl), repl,
         ) + tuple(repl for _ in extras)
         out_specs = (spec_of(grid, repl), spec_of(rms, repl),
-                     {"loss": repl, "mse": repl}
-                     | ({"pool_overflow": repl} if kind == "surface" else {}))
+                     {"loss": repl, "mse": repl, "pool_overflow": repl})
 
         def body(grid, rms, rays, rgb_gt, hp, key, *rest):
             return impl(grid, rms, rays, rgb_gt, hp, key,
@@ -86,7 +85,7 @@ def make_sharded_surface_step(cfg, mesh: Mesh, axis: str = "data",
         # cache the jitted shard_map by the arg pytree structure (optional
         # kwarg presence / rays.masks presence / rms key set)
         kwargs = {}
-        if kind == "surface" and occ is not None:
+        if occ is not None:
             kwargs["occ"] = occ
         if row_coords is not None:
             kwargs["row_coords"] = row_coords

@@ -26,7 +26,7 @@ from ..core.rays import Rays
 from ..losses import reg
 from ..losses import render_losses as rl
 from ..optim.rmsprop import RMSState, rmsprop_init, rmsprop_step
-from ..render.cuvol import volume_render_cuvol
+from ..render.cuvol import volume_render_cuvol, volume_render_cuvol_packed
 from ..render.surface import (
     volume_render_surface,
     volume_render_surface_compact,
@@ -445,10 +445,17 @@ def make_surface_step(cfg: StepConfig, jit: bool = True):
 
 
 def make_cuvol_step(cfg: StepConfig, jit: bool = True):
-    """Plenoxels warm-start stage step (sigma grid, opt.py:940-947)."""
+    """Plenoxels warm-start stage step (sigma grid, opt.py:940-947).
+
+    With ``cfg.renderer == 'packed'`` and a density occupancy passed by the
+    trainer, rendering goes through ``volume_render_cuvol_packed`` — the
+    pool formulation whose backward scatters 8 rows per occupied VOXEL
+    instead of per SAMPLE (the dense fixed-step march's backward was
+    scatter-bound at ~13 s/step at 128^3 — PERF.md), which is what makes
+    the reference's 256^3 warm start (syn.yaml:1-3) tractable on TPU."""
 
     def step(grid: SparseGrid, rms: dict, rays: Rays, rgb_gt, hp: HParams, key,
-             row_coords=None):
+             occ=None, row_coords=None):
         k_tv, k_tvsh, k_bg, k_lum, k_aux = jax.random.split(key, 5)
 
         if row_coords is not None:
@@ -459,10 +466,23 @@ def make_cuvol_step(cfg: StepConfig, jit: bool = True):
             reg_scale = 1.0
             sample = reg.sample_cells
 
+        use_packed = cfg.renderer == "packed" and occ is not None
+
         def loss_fn(density, sh, aux):
             g = grid.replace(density_data=density, sh_data=sh)
             g = _apply_aux(g, aux)
-            out = volume_render_cuvol(g, rays, cfg.opt, max_steps=cfg.max_steps)
+            if use_packed:
+                out = volume_render_cuvol_packed(
+                    g, rays, cfg.opt,
+                    entries_per_ray=cfg.entries_per_ray,
+                    occupancy=occ,
+                    coarse_factor=cfg.coarse_factor,
+                    supers_per_ray=cfg.supers_per_ray,
+                )
+            else:
+                out = volume_render_cuvol(
+                    g, rays, cfg.opt, max_steps=cfg.max_steps
+                )
             mse = jnp.mean((out["rgb"] - rgb_gt) ** 2)
             loss = mse
             cells_tv = sample(k_tv, g, cfg.tv_sparsity)
@@ -470,16 +490,18 @@ def make_cuvol_step(cfg: StepConfig, jit: bool = True):
             cells_tvsh = sample(k_tvsh, g, cfg.tv_sh_sparsity)
             loss += reg_scale * hp.lambda_tv_sh * reg.tv_loss(g, sh, cells_tvsh)
             loss += _aux_reg_losses(g, hp, cfg, (k_bg, k_lum, k_aux))
-            return loss, mse
+            overflow = out.get("pool_overflow", jnp.asarray(0, jnp.int32))
+            return loss, (mse, overflow)
 
         aux_in = _aux_params(grid, rms)
-        (loss, mse), grads = jax.value_and_grad(
+        (loss, (mse, overflow)), grads = jax.value_and_grad(
             loss_fn, argnums=(0, 1, 2), has_aux=True
         )(grid.density_data, grid.sh_data, aux_in)
         if cfg.axis_name is not None:
             grads = jax.lax.pmean(grads, cfg.axis_name)
             loss = jax.lax.pmean(loss, cfg.axis_name)
             mse = jax.lax.pmean(mse, cfg.axis_name)
+            overflow = jax.lax.psum(overflow, cfg.axis_name)
         g_density, g_sh, g_aux = grads
 
         new_density, rms_d = rmsprop_step(
@@ -494,7 +516,20 @@ def make_cuvol_step(cfg: StepConfig, jit: bool = True):
         new_aux, rms_aux = _aux_optim(aux_in, g_aux, rms, hp, cfg.rms_beta)
         new_grid = _apply_aux(new_grid, new_aux)
         new_rms.update(rms_aux)
-        return new_grid, new_rms, {"loss": loss, "mse": mse}
+
+        # overflow => dropped crossings => wrong gradients: keep old params
+        # (same contract as the surface step; trainer grows pool + retries)
+        keep = (overflow == 0) | (hp.force_apply > 0)
+        sel = lambda n, o: jnp.where(keep, n, o)
+        new_grid = new_grid.replace(
+            density_data=sel(new_grid.density_data, grid.density_data),
+            sh_data=sel(new_grid.sh_data, grid.sh_data),
+        )
+        new_rms = {
+            k: jax.tree.map(sel, v, rms[k]) for k, v in new_rms.items()
+        }
+        stats = {"loss": loss, "mse": mse, "pool_overflow": overflow}
+        return new_grid, new_rms, stats
 
     if jit:
         return jax.jit(step, donate_argnums=(0, 1))

@@ -71,9 +71,12 @@ class Trainer:
         self._entries_cap = float(getattr(cfg, "entries_per_ray_max", 256.0))
         self._entries_per_ray = self._pow2(float(cfg.entries_per_ray))
         self._supers_per_ray = self._pow2(float(getattr(cfg, "supers_per_ray", 8.0)))
+        from ..render.cuvol import density_occupancy
         from ..render.surface import voxel_occupancy
 
         self._occ_fn = jax.jit(voxel_occupancy, static_argnums=1)
+        self._occ_fn_d = jax.jit(density_occupancy)
+        self._occ_kind = None  # 'surface' | 'density' (cache key)
         # packed-row lattice coords for capacity-scaled reg sampling
         # (losses/reg.py sample_present_cells); recomputed on topology change
         from ..losses.reg import row_coords_of
@@ -391,10 +394,12 @@ class Trainer:
         if g.surface_data is not None:
             opt = render_options_from(self.cfg, no_surface=False)
             self._occ = self._occ_fn(g, opt, self._get_row_coords())
-            self._occ_step = self.gstep
-            occ_frac = float(jnp.mean(self._occ))
+            self._occ_kind = "surface"
         else:
-            occ_frac = g.capacity / max(1, int(np.prod(g.links.shape)))
+            self._occ = self._occ_fn_d(g, self._get_row_coords())
+            self._occ_kind = "density"
+        self._occ_step = self.gstep
+        occ_frac = float(jnp.mean(self._occ))
         est = 1.2 * occ_frac * float(np.mean(g.links.shape)) + 4.0
         if est > self._entries_cap:
             self.log(
@@ -470,6 +475,7 @@ class Trainer:
                     max_elements=cfg.max_grid_elements,
                     non_expanding=cfg.surf_non_expand,
                     sigmoid_alpha=cfg.surf_alpha_sigmoid_act,
+                    keep_lv_band=cfg.upsample_keep_lv_band,
                 )
             else:
                 self.grid = topology.resample(
@@ -494,16 +500,27 @@ class Trainer:
     def _get_occ(self, no_surface: bool):
         """Voxel-occupancy skip structure, recomputed (in its own jit, so the
         train step's program stays small) every occ_refresh_every steps or on
-        topology change."""
+        topology change. Density grids (and no_surface renders) use the
+        cuvol density occupancy; surface grids the level-set hull one."""
         cfg = self.cfg
+        kind = (
+            "density"
+            if (no_surface or self.grid.surface_data is None)
+            else "surface"
+        )
         if (
             self._occ is None
+            or kind != self._occ_kind
             or self.gstep - self._occ_step >= max(1, cfg.occ_refresh_every)
             or self._occ.shape != tuple(r - 1 for r in self.grid.reso)
         ):
-            opt = render_options_from(cfg, no_surface=no_surface)
-            self._occ = self._occ_fn(self.grid, opt, self._get_row_coords())
+            if kind == "density":
+                self._occ = self._occ_fn_d(self.grid, self._get_row_coords())
+            else:
+                opt = render_options_from(cfg, no_surface=no_surface)
+                self._occ = self._occ_fn(self.grid, opt, self._get_row_coords())
             self._occ_step = self.gstep
+            self._occ_kind = kind
         return self._occ
 
     def _get_row_coords(self):
@@ -676,17 +693,17 @@ class Trainer:
             if dev is not None:
                 # async path: no per-step host sync; overflow handled at
                 # window flushes by _flush_pend
-                kw = {"row_coords": self._get_row_coords()}
-                if kind == "surface":
-                    kw["occ"] = self._get_occ(no_surface)
+                kw = {"row_coords": self._get_row_coords(),
+                      "occ": self._get_occ(no_surface)}
                 self.grid, self.rms, stats = step_fn(
                     self.grid, self.rms, rays, gt_dev, hp, sub, **kw
                 )
                 pend.append(stats)
-            elif kind == "surface":
+            else:
                 # overflow => the step was a no-op (params unchanged inside
                 # the jitted step); grow the pool and retry the same batch
                 # with the same rng key until it fits or the cap is hit
+                # (both kinds: the cuvol warm start is packed-pool too)
                 forced = False
                 while True:
                     self.grid, self.rms, stats = step_fn(
@@ -707,11 +724,6 @@ class Trainer:
                         # silently stalling (ERROR already logged)
                         hp = hp._replace(force_apply=1.0)
                         forced = True
-            else:
-                self.grid, self.rms, stats = step_fn(
-                    self.grid, self.rms, rays, gt_dev, hp, sub,
-                    row_coords=self._get_row_coords(),
-                )
             if dev is None:
                 mse = float(stats["mse"])
                 stats_acc["mse"] += mse

@@ -135,6 +135,45 @@ def test_metric_rescale_host_eq_device():
     )
 
 
+def test_resample_surface_keep_lv_band():
+    rng = np.random.default_rng(11)
+    g = _rand_grid(rng, surface=True, hole_frac=0.2)
+    # make alpha support and the surface shell disjoint: alpha only where
+    # surf is strongly positive — the plain alpha mask loses the crossings
+    sd = np.asarray(g.surface_data)
+    g = g.replace(density_data=jnp.asarray((sd > 1.0).astype(np.float32)))
+    kw = dict(alpha_thresh=0.5, dilate=0, keep_lv_band=True)
+    h = topology.resample_surface(g, (14, 15, 13), **kw)
+    d = topology_device.resample_surface_device(g, (14, 15, 13), **kw)
+    _assert_grids_equal(h, d)
+    # without the band, the crossing shell is amputated
+    h0 = topology.resample_surface(
+        g, (14, 15, 13), alpha_thresh=0.5, dilate=0
+    )
+    assert h.capacity > h0.capacity
+    # every straddling voxel's corners survive: recompute occupancy-style
+    sd_h = np.asarray(h.surface_data)[:, 0]
+    links = np.asarray(h.links)
+    pres = links >= 0
+    dense = np.zeros(links.shape, np.float32)
+    dense[pres] = sd_h[links[pres]]
+    lv = float(np.asarray(h.level_set_data)[0])
+    n_cross = 0
+    X, Y, Z = links.shape
+    smin = np.full((X - 1, Y - 1, Z - 1), np.inf, np.float32)
+    smax = np.full((X - 1, Y - 1, Z - 1), -np.inf, np.float32)
+    allp = np.ones((X - 1, Y - 1, Z - 1), bool)
+    for dx in (0, 1):
+        for dy in (0, 1):
+            for dz in (0, 1):
+                s = dense[dx:X - 1 + dx, dy:Y - 1 + dy, dz:Z - 1 + dz]
+                np.minimum(smin, s, out=smin)
+                np.maximum(smax, s, out=smax)
+                allp &= pres[dx:X - 1 + dx, dy:Y - 1 + dy, dz:Z - 1 + dz]
+    n_cross = int((allp & (smin <= lv) & (lv <= smax)).sum())
+    assert n_cross > 0
+
+
 def test_resample_downscale():
     rng = np.random.default_rng(8)
     g = _rand_grid(rng, surface=True, hole_frac=0.1)
