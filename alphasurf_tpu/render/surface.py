@@ -1351,8 +1351,14 @@ def _occ_bit_lookup(occ_bits: jnp.ndarray, lx, ly, lz) -> jnp.ndarray:
 def _pool_compact(count_row, M: int):
     """Gather-based dense compaction: given per-row candidate hit counts
     (R, C) (inclusive cumsum along C), map pool slot m -> (row, col) of its
-    m-th global hit via searchsorted over row bases + binary search within
-    the row. Returns (row (M,), col (M,), valid (M,)). No scatter/sort."""
+    m-th global hit. Returns (row (M,), col (M,), valid (M,)).
+
+    Two-level search (round-5 verdict item 6): per-gather-CALL overhead on
+    TPU scales with the TABLE size, so ~11 binary-search rounds over the
+    full (R, C) table (125 MB at the 512^3 fine level) cost 134 ms. Level
+    1 binary-searches the 32x smaller chunk-end table; level 2 fetches the
+    winning chunk's 32 counts as ONE 128-byte row gather (the fast path)
+    and resolves the position with an in-register compare-count."""
     R, C = count_row.shape
     n_r = count_row[:, -1]
     base = jnp.cumsum(n_r) - n_r
@@ -1364,16 +1370,33 @@ def _pool_compact(count_row, M: int):
     r_m = jnp.clip(r_m, 0, R - 1)
     j_m = m - jnp.take(base, r_m)
 
-    cnt_flat = count_row.reshape(-1)
+    CH = 32
+    Cw = (C + CH - 1) // CH
+    pad = Cw * CH - C
+    if pad:
+        # pad with the row total so padded positions never win the search
+        cnt = jnp.concatenate(
+            [count_row, jnp.repeat(count_row[:, -1:], pad, axis=1)], axis=1
+        )
+    else:
+        cnt = count_row
+    chunk_end = cnt[:, CH - 1 :: CH]  # (R, Cw) inclusive count at chunk end
+    ce_flat = chunk_end.reshape(-1)
     lo = jnp.zeros(M, jnp.int32)
-    hi = jnp.full(M, C - 1, jnp.int32)
-    for _ in range(int(math.ceil(math.log2(max(C, 2)))) + 1):
+    hi = jnp.full(M, Cw - 1, jnp.int32)
+    for _ in range(int(math.ceil(math.log2(max(Cw, 2)))) + 1):
         mid = (lo + hi) // 2
-        v = jnp.take(cnt_flat, r_m * C + mid)
+        v = jnp.take(ce_flat, r_m * Cw + mid)
         ge = v >= j_m + 1
         hi = jnp.where(ge, mid, hi)
-        lo = jnp.where(ge, lo, jnp.minimum(mid + 1, C - 1))
-    return r_m, hi, valid
+        lo = jnp.where(ge, lo, jnp.minimum(mid + 1, Cw - 1))
+    c_m = hi
+    rows = jax.lax.optimization_barrier(
+        jnp.take(cnt.reshape(R * Cw, CH), r_m * Cw + c_m, axis=0)
+    )  # (M, CH)
+    pos = jnp.sum((rows < j_m[:, None] + 1).astype(jnp.int32), axis=1)
+    col = jnp.clip(c_m * CH + pos, 0, C - 1)
+    return r_m, col, valid
 
 
 _SNAP_TOL = 1e-5  # grid units; > f32 roundoff of o + t*d at t ~ grid diag

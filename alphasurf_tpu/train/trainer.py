@@ -521,6 +521,24 @@ class Trainer:
                 self._occ = self._occ_fn(self.grid, opt, self._get_row_coords())
             self._occ_step = self.gstep
             self._occ_kind = kind
+            # mid-stage pool SHRINK on refresh: the cuvol warm start begins
+            # dense (occ ~0.5 -> pool 256/ray) and sparsifies within ~50
+            # steps; without this the whole stage pays the initial pool.
+            # Only shrink by >= 2x (pow2 levels bound retraces) and keep a
+            # 1.5x margin — reactive growth still covers underestimates.
+            occ_frac = float(jnp.mean(self._occ))
+            est = 1.5 * (1.2 * occ_frac * float(np.mean(self.grid.links.shape)) + 4.0)
+            target = self._pow2(
+                min(self._entries_cap, max(float(cfg.entries_per_ray), est))
+            )
+            if target <= self._entries_per_ray / 2:
+                self.log(
+                    f"[pool] shrink on occ refresh: entries_per_ray "
+                    f"{self._entries_per_ray:.0f} -> {target:.0f} "
+                    f"(occ_frac={occ_frac:.3f})"
+                )
+                self._entries_per_ray = target
+                self._supers_per_ray = max(target / 2, 8.0)
         return self._occ
 
     def _get_row_coords(self):

@@ -8,10 +8,7 @@ grid sizes and 800x800 image resolution, on the synthetic sphere scene
 
 Documented deviations from the reference recipe (surface_cuda_syn.yaml):
   * batch 8192 rays (1.6x the reference's 5000) with iteration counts
-    scaled down accordingly — phase-B pool intermediates scale with
-    batch x entries_per_ray x slots and ~260k pool entries is the
-    comfortable HBM envelope with two level sets alongside params +
-    optimizer state;
+    scaled down accordingly;
   * alpha-threshold upsampling (no camera-weight sweep) and no visibility
     pruning at surface init — keeps the stage transitions cheap;
   * the scene is the procedural SDF sphere (smooth geometry, SH-4 color),
@@ -35,12 +32,12 @@ def main(
     width: int = 800,
     n_images: int = 25,
     gt_reso: int = 128,
-    reso0: int = 64,
+    reso0: int = 256,
     reso1: int = 256,
     reso2: int = 512,
-    n_cuvol: int = 300,
-    n_surf1: int = 300,
-    n_surf2: int = 900,
+    n_cuvol: int = 600,
+    n_surf1: int = 600,
+    n_surf2: int = 1800,
     batch: int = 8192,
     n_stages: int = 3,
 ):
@@ -91,11 +88,10 @@ def main(
     cfg = Config(
         train_dir=os.path.join(out_dir, "ckpt"),
         data_dir=data_dir,
-        # cuvol warm start at reso0 (the fixed-step density march's
-        # backward scatters per sample x corner — B*steps*8 rows/step —
-        # so the warm start runs at 64^3 and the DENSITY grid is
-        # upsampled to reso1 just before surface conversion; deviation
-        # from the reference's 256^3 plenoxels run)
+        # cuvol warm start at 256^3 like the reference (syn.yaml:1-3) —
+        # the packed-pool cuvol renderer (round 5) made this tractable;
+        # the 256 -> 256 "upsample" at the first transition is the
+        # reference's own density resample+prune before surface init
         reso=reso_list,
         surface_type="sdf",
         batch_size=batch,
@@ -164,7 +160,7 @@ def main(
         n_eval_test=3, final_render_eval=False,
         log_pts=True, eval_cf=True, surf_eval_n_sample=3,
         surf_eval_intersect_th=0.1,
-        entries_per_ray=8.0, entries_per_ray_max=32.0,
+        entries_per_ray=8.0, entries_per_ray_max=512.0,
         tune_mode=True, nosphereinit=False,
     )
     tr = Trainer(cfg, dset, dset_test)
