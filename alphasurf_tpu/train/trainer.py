@@ -400,7 +400,12 @@ class Trainer:
             self._occ_kind = "density"
         self._occ_step = self.gstep
         occ_frac = float(jnp.mean(self._occ))
-        est = 1.2 * occ_frac * float(np.mean(g.links.shape)) + 4.0
+        # path-length factor rises with occupancy: on thin shells most of a
+        # ray's plane crossings are empty (1.2 calibrates there), but on
+        # dense grids (the cuvol warm start: occ ~0.5-0.7) nearly every
+        # segment counts and rays cross up to ~2x mean(reso) planes
+        est = (1.2 + 0.8 * occ_frac) * occ_frac * float(
+            np.mean(g.links.shape)) + 4.0
         if est > self._entries_cap:
             self.log(
                 f"[pool] WARNING: estimated {est:.0f} crossings/ray exceeds "
@@ -428,7 +433,9 @@ class Trainer:
 
     def _grow_pool(self, overflow: int) -> bool:
         """Reactive growth after an overflowing (and therefore unapplied)
-        step. Returns False when already at the configured cap."""
+        step. Grows straight to the size the measured overflow implies
+        (pow2, 1.3x margin) instead of doubling blindly — one retrace
+        reaches sufficiency. Returns False when already at the cap."""
         if self._entries_per_ray >= self._entries_cap:
             self.log(
                 f"[pool] ERROR: overflow={overflow} at cap entries_per_ray="
@@ -437,8 +444,14 @@ class Trainer:
             )
             return False
         old = self._entries_per_ray
-        self._entries_per_ray = min(self._entries_cap, old * 2)
-        self._supers_per_ray = min(self._entries_cap, self._supers_per_ray * 2)
+        needed = old + overflow / max(1, self.cfg.batch_size)
+        self._entries_per_ray = self._pow2(
+            min(self._entries_cap, max(old * 2, 1.3 * needed))
+        )
+        self._supers_per_ray = min(
+            self._entries_cap,
+            max(self._supers_per_ray * 2, self._entries_per_ray / 2),
+        )
         self.log(
             f"[pool] overflow={overflow}: entries_per_ray {old:.0f} -> "
             f"{self._entries_per_ray:.0f}; retrying batch"
@@ -527,7 +540,10 @@ class Trainer:
             # Only shrink by >= 2x (pow2 levels bound retraces) and keep a
             # 1.5x margin — reactive growth still covers underestimates.
             occ_frac = float(jnp.mean(self._occ))
-            est = 1.5 * (1.2 * occ_frac * float(np.mean(self.grid.links.shape)) + 4.0)
+            est = 1.5 * (
+                (1.2 + 0.8 * occ_frac) * occ_frac
+                * float(np.mean(self.grid.links.shape)) + 4.0
+            )
             target = self._pow2(
                 min(self._entries_cap, max(float(cfg.entries_per_ray), est))
             )
@@ -588,30 +604,37 @@ class Trainer:
         def _flush_pend():
             # pull the deferred window once; handle overflow lazily: the
             # step refuses to apply overflowing updates internally, so a
-            # late pool growth only means those batches were no-ops
+            # late pool growth only means those batches were no-ops. Growth
+            # happens AT MOST ONCE per flush, sized to the window's worst
+            # overflow (the old per-step doubling ratcheted a 100-step
+            # window straight to the cap and force-applied forever after).
             nonlocal pend
             if not pend:
                 return
+            max_ovf, n_ovf = 0, 0
             for st in pend:
                 stats_acc["mse"] += float(st["mse"])
                 stats_acc["n"] += 1
                 ovf = int(st.get("pool_overflow", 0))
                 if ovf > 0:
+                    n_ovf += 1
+                    max_ovf = max(max_ovf, ovf)
                     if self._force_apply:
                         self.n_forced_steps += 1
                         self.dropped_crossings += ovf
-                    elif not self._grow_pool(ovf):
-                        self._force_apply = True
-                        self.log(
-                            "[pool] device mode: at cap — subsequent "
-                            "overflow steps will be force-applied"
-                        )
-                    else:
-                        self.log(
-                            "[pool] device mode: overflowing batches were "
-                            "dropped (no-op steps), pool grown for the next "
-                            "window"
-                        )
+            if max_ovf > 0 and not self._force_apply:
+                if self._grow_pool(max_ovf):
+                    self.log(
+                        f"[pool] device mode: {n_ovf} overflowing batch(es) "
+                        "in the window were dropped (no-op steps), pool "
+                        "grown for the next window"
+                    )
+                else:
+                    self._force_apply = True
+                    self.log(
+                        "[pool] device mode: at cap — subsequent overflow "
+                        "steps will be force-applied"
+                    )
             pend = []
 
         while self.gstep < n_iters:
@@ -717,6 +740,10 @@ class Trainer:
                     self.grid, self.rms, rays, gt_dev, hp, sub, **kw
                 )
                 pend.append(stats)
+                # bound the window of potential silent no-ops: an
+                # undersized pool is only discovered at flush time
+                if len(pend) >= 16:
+                    _flush_pend()
             else:
                 # overflow => the step was a no-op (params unchanged inside
                 # the jitted step); grow the pool and retry the same batch

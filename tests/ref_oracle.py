@@ -40,6 +40,28 @@ def load_reference():
     torch.tensor = _tensor
     import svox2 as ref_svox2
 
+    # In-memory fix of the oracle's use-before-assign bug (svox2.py:2550):
+    # with surf_fake_sample OFF, the l_ss extra-loss block still indexes
+    # ``fake_sample_ids``, which only exists when fake samples are on —
+    # EVERY fake-off render crashes. Guard that single line so fake-off
+    # parity comparisons are possible (the reference ON DISK is untouched).
+    import inspect
+    import textwrap
+
+    src = inspect.getsource(ref_svox2.SparseGrid._surface_render_gradcheck_lerp)
+    buggy = "real_sample_mask[fake_sample_ids, :] = False"
+    patched = textwrap.dedent(src).replace(
+        buggy,
+        "if self.opt.surf_fake_sample:\n    "
+        "            " + buggy,
+        1,
+    )
+    ns = dict(ref_svox2.svox2.__dict__)
+    exec(compile(patched, "<svox2-patched>", "exec"), ns)
+    ref_svox2.SparseGrid._surface_render_gradcheck_lerp = ns[
+        "_surface_render_gradcheck_lerp"
+    ]
+
     _ref = ref_svox2
     return _ref
 

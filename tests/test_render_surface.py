@@ -90,6 +90,24 @@ def test_rgb_matches_oracle_basic(prune_frac):
     np.testing.assert_allclose(got, ref_rgb, rtol=1e-5, atol=1e-5)
 
 
+def test_rgb_matches_oracle_fake_off():
+    """TRUE fake-off path vs the oracle (possible since ref_oracle patches
+    the oracle's use-before-assign at svox2.py:2550 in memory). Note the
+    oracle never implements only_outward_intersect (kernel-only flag), so
+    both sides run with it off."""
+    g = make_ref_grid(reso=8, seed=4, prune_frac=0.2)
+    origins, dirs = make_rays(24, seed=5)
+    ref_rgb = _ref_render(
+        g, origins, dirs, surf_fake_sample=False, limited_fake_sample=False
+    )
+    gj = grid_to_jax(g, jnp.float64)
+    opt = at.RenderOptions(
+        **BASE_OPT, surf_fake_sample=False, only_outward_intersect=False
+    )
+    got = _jax_render(gj, origins, dirs, opt)
+    np.testing.assert_allclose(got, ref_rgb, rtol=1e-5, atol=1e-5)
+
+
 def test_rgb_matches_oracle_fake_samples():
     g = make_ref_grid(reso=8, seed=2)
     import torch

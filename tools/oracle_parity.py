@@ -66,22 +66,40 @@ def main(ckpt: str, n_rays: int = 2048, width: int = 200, seed: int = 0):
     sel = rng.choice(np.arange(lo, hi), size=min(n_rays, hi - lo), replace=False)
     origins, dirs = origins[sel], dirs[sel]
 
-    # surf_fake_sample stays ON for the comparison: the reference oracle
-    # CRASHES with truncated_vol_render and fake samples off
-    # (svox2.py:2550 uses fake_sample_ids before assignment); the recipe
-    # decays fake_sample_std to ~1e-6 so their contribution is negligible
-    opt = at.RenderOptions(
-        sigma_thresh=-10000.0, stop_thresh=-10000.0,
-        only_outward_intersect=True, truncated_vol_render=True,
-        trunc_vol_weight_min=1e-10, surf_fake_sample=True,
-        limited_fake_sample=True,
-    )
-    ours = np.asarray(
-        volume_render_surface_packed(
-            grid, at.Rays(jnp.asarray(origins), jnp.asarray(dirs)), opt,
-            entries_per_ray=64.0,
-        )["rgb"]
-    )
+    # The recipe trains with (truncated_vol_render=ON, fake samples OFF) —
+    # a combination the reference oracle CRASHES on (svox2.py:2550 uses
+    # fake_sample_ids before assignment). Bracket it with the two configs
+    # the oracle survives (round-4 verdict weak #6): trunc ON + fake ON
+    # (fake contribution ~0 at the decayed std), and trunc OFF + fake OFF
+    # (pure surface-intersection compositing).
+    # "plain" turns only_outward_intersect OFF on both sides: the oracle
+    # never implements that flag (it exists only in the CUDA kernel,
+    # svox2.py:1596-2857 has no outward test) — with truncation off the
+    # back-face crossings it wrongly keeps would dominate the diff. With
+    # matching flags the fake-off path agrees with the oracle to f32
+    # round-off (145 dB on the synthetic sphere).
+    configs = {
+        "trunc_fake": dict(truncated_vol_render=True, surf_fake_sample=True,
+                           only_outward_intersect=True),
+        "plain": dict(truncated_vol_render=False, surf_fake_sample=False,
+                      only_outward_intersect=False),
+    }
+    opts = {
+        k: at.RenderOptions(
+            sigma_thresh=-10000.0, stop_thresh=-10000.0,
+            trunc_vol_weight_min=1e-10, limited_fake_sample=True, **kw,
+        )
+        for k, kw in configs.items()
+    }
+    ours = {
+        k: np.asarray(
+            volume_render_surface_packed(
+                grid, at.Rays(jnp.asarray(origins), jnp.asarray(dirs)), o,
+                entries_per_ray=64.0,
+            )["rgb"]
+        )
+        for k, o in opts.items()
+    }
 
     # mirror into the reference grid
     ref = load_reference()
@@ -108,38 +126,42 @@ def main(ckpt: str, n_rays: int = 2048, width: int = 200, seed: int = 0):
     g.fake_sample_std = torch.nn.Parameter(torch.from_numpy(fss).float())
     g.truncated_vol_render_a = torch.tensor(
         float(grid.truncated_vol_render_a)).float()
-    g.opt.sigma_thresh = opt.sigma_thresh
-    g.opt.stop_thresh = opt.stop_thresh
-    g.opt.only_outward_intersect = opt.only_outward_intersect
-    g.opt.truncated_vol_render = opt.truncated_vol_render
-    g.opt.trunc_vol_weight_min = opt.trunc_vol_weight_min
-    g.opt.surf_fake_sample = opt.surf_fake_sample
-    g.opt.limited_fake_sample = opt.limited_fake_sample
-    g.opt.alpha_activation_type = ref.EXP_FN
-    g.opt.background_brightness = opt.background_brightness
-    g.opt.fake_sample_normalize_surf = opt.fake_sample_normalize_surf
-    g.opt.surf_fake_sample_min_vox_len = opt.surf_fake_sample_min_vox_len
-    g.opt.near_clip = opt.near_clip
-    g.opt.use_spheric_clip = opt.use_spheric_clip
-    g.opt.last_sample_opaque = opt.last_sample_opaque
-
     rays_t = ref.Rays(
         torch.from_numpy(origins).double(), torch.from_numpy(dirs).double()
     )
-    out = g._surface_render_gradcheck_lerp(rays_t, dtype=torch.double)
-    theirs = out["rgb"].detach().numpy()
+    all_res = {}
+    for k, opt in opts.items():
+        g.opt.sigma_thresh = opt.sigma_thresh
+        g.opt.stop_thresh = opt.stop_thresh
+        g.opt.only_outward_intersect = opt.only_outward_intersect
+        g.opt.truncated_vol_render = opt.truncated_vol_render
+        g.opt.trunc_vol_weight_min = opt.trunc_vol_weight_min
+        g.opt.surf_fake_sample = opt.surf_fake_sample
+        g.opt.limited_fake_sample = opt.limited_fake_sample
+        g.opt.alpha_activation_type = ref.EXP_FN
+        g.opt.background_brightness = opt.background_brightness
+        g.opt.fake_sample_normalize_surf = opt.fake_sample_normalize_surf
+        g.opt.surf_fake_sample_min_vox_len = opt.surf_fake_sample_min_vox_len
+        g.opt.near_clip = opt.near_clip
+        g.opt.use_spheric_clip = opt.use_spheric_clip
+        g.opt.last_sample_opaque = opt.last_sample_opaque
 
-    diff = np.abs(ours - theirs)
-    mse = float(np.mean((ours - theirs) ** 2))
-    res = {
-        "n_rays": int(origins.shape[0]),
-        "mae": float(diff.mean()),
-        "max_abs": float(diff.max()),
-        "psnr_between_renderers": float(-10 * np.log10(max(mse, 1e-20))),
-        "frac_within_1_256": float((diff.max(-1) < 1.0 / 256).mean()),
-    }
-    print("ORACLE PARITY " + json.dumps(res))
-    return res
+        out = g._surface_render_gradcheck_lerp(rays_t, dtype=torch.double)
+        theirs = out["rgb"].detach().numpy()
+
+        diff = np.abs(ours[k] - theirs)
+        mse = float(np.mean((ours[k] - theirs) ** 2))
+        res = {
+            "config": k,
+            "n_rays": int(origins.shape[0]),
+            "mae": float(diff.mean()),
+            "max_abs": float(diff.max()),
+            "psnr_between_renderers": float(-10 * np.log10(max(mse, 1e-20))),
+            "frac_within_1_256": float((diff.max(-1) < 1.0 / 256).mean()),
+        }
+        print("ORACLE PARITY " + json.dumps(res))
+        all_res[k] = res
+    return all_res
 
 
 if __name__ == "__main__":
