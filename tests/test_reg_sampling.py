@@ -80,6 +80,81 @@ def test_present_window_matches_lattice_window_sum():
             )
 
 
+def _morton_key(x, y, z, bits=4):
+    k = 0
+    for b in range(bits):
+        k |= ((x >> b) & 1) << (3 * b + 2)
+        k |= ((y >> b) & 1) << (3 * b + 1)
+        k |= ((z >> b) & 1) << (3 * b)
+    return k
+
+
+def test_present_windows_partition_morton_ordered_links():
+    """Round-4 verdict weak #7: for IMPORTED checkpoints the packed rows may
+    be Morton-ordered, so a contiguous packed-row window is not a lattice
+    window. The invariant that holds for ANY link numbering — and what makes
+    the sampling unbiased — is that disjoint packed-row windows PARTITION
+    the present set: window gradient-sums add up to the full present-set
+    gradient-sum (each present cell appears in exactly one window)."""
+    g = _pruned_grid(reso=12, seed=7, keep_frac=0.35)
+    # renumber links by Morton rank of the kept cells (svox2 grids built by
+    # its own resample are z-curve-ish, not flat-ordered)
+    links = np.asarray(g.links)
+    xs, ys, zs = np.nonzero(links >= 0)
+    order = np.argsort([_morton_key(x, y, z) for x, y, z in zip(xs, ys, zs)])
+    new_links = np.full(links.shape, -1, np.int32)
+    new_links[xs[order], ys[order], zs[order]] = np.arange(
+        len(order), dtype=np.int32)
+    rng = np.random.default_rng(8)
+    g = g.replace(
+        links=jnp.asarray(new_links),
+        density_data=jnp.asarray(
+            rng.normal(size=(len(order), 1)).astype(np.float32)),
+        surface_data=jnp.asarray(
+            rng.normal(size=(len(order), 1)).astype(np.float32)),
+    )
+    rc = reg.row_coords_of(g)
+
+    # row_coords_of must invert Morton links too
+    for j in [0, 1, g.capacity // 3, g.capacity - 1]:
+        x, y, z = np.asarray(rc[j])
+        assert new_links[x, y, z] == j
+
+    # sample_present_cells: correct count, all present, under Morton links
+    cells = reg.sample_present_cells(jax.random.PRNGKey(0), g, rc, 0.25)
+    assert cells.shape[0] == max(1, int(0.25 * g.capacity))
+    assert (np.asarray(new_links).reshape(-1)[np.asarray(cells)] >= 0).all()
+
+    # partition property: disjoint windows of rc tile [0, capacity) — their
+    # gradient-sums must add to the all-present-cells gradient-sum
+    X, Y, Z = g.reso
+
+    def window_cells(j0, K):
+        c = jax.lax.dynamic_slice_in_dim(rc, j0, K, axis=0)
+        return (c[:, 0] * Y + c[:, 1]) * Z + c[:, 2]
+
+    def gradsum(cells, count):
+        def f(dens, surf):
+            gg = g.replace(density_data=dens, surface_data=surf)
+            return (reg.tv_loss(gg, gg.density_data, cells)
+                    + reg.surface_tv_loss(gg, cells)) * count
+        return jax.grad(f, argnums=(0, 1))(g.density_data, g.surface_data)
+
+    K = g.capacity // 4
+    parts = []
+    j0 = 0
+    while j0 < g.capacity:
+        k = min(K, g.capacity - j0)
+        parts.append(gradsum(window_cells(j0, k), k))
+        j0 += k
+    total = [sum(np.asarray(p[i]) for p in parts) for i in range(2)]
+    all_present = jnp.asarray(
+        np.flatnonzero(np.asarray(new_links).reshape(-1) >= 0), jnp.int32)
+    full = gradsum(all_present, all_present.shape[0])
+    for a, b in zip(total, full):
+        np.testing.assert_allclose(a, np.asarray(b), rtol=2e-5, atol=1e-6)
+
+
 def test_sparsify_empty_cells_differ_documented():
     # alpha_surf_sparsify contributes log(sigmoid(0)) for EMPTY lattice
     # cells in the reference twin (svox2.py:5037) — the present-only window
