@@ -516,17 +516,16 @@ def _voxel_samples_T(
     all_present = jnp.all(links8T >= 0, axis=0)
     vox_ok = vox_ok & all_present
 
-    # per-corner row gathers; each (M, C8) gather result is transposed to
-    # (C8, M) immediately (the flat-corner-row layout: 8 x C8 x M, zero pad)
+    # one fused row gather for all 8 corners (8M rows in a single take:
+    # one gather kernel forward, ONE scatter-add in the VJP instead of 8),
+    # then transposed to the flat-corner-row layout (8, C8, M)
     cap = packed.shape[0]
-    v8T_parts = []
-    for c in range(8):
-        lk = links8T[c]
-        rows = jax.lax.optimization_barrier(
-            jnp.take(packed, jnp.clip(lk, 0, cap - 1), axis=0)
-        )
-        v8T_parts.append(rows.T * (lk >= 0)[None, :].astype(dtype))
-    v8T = jnp.stack(v8T_parts, axis=0)  # (8, C8, M)
+    rows = jax.lax.optimization_barrier(
+        jnp.take(packed, jnp.clip(links8T.reshape(-1), 0, cap - 1), axis=0)
+    )  # (8M, C8)
+    v8T = rows.reshape(8, M, -1).transpose(0, 2, 1) * (
+        (links8T >= 0)[:, None, :].astype(dtype)
+    )  # (8, C8, M)
     alpha8T = v8T[:, 0, :]  # (8, M)
     if grid.surface_type != defs.SURFACE_TYPE_UDF_ALPHA:
         vox_ok = vox_ok & jnp.any(alpha8T >= opt.sigma_thresh, axis=0)
